@@ -1,0 +1,121 @@
+"""Target-filter loading and the two-tier check used by all search modes.
+
+Mirrors the reference's semantics (/root/reference/main.c:71-131, 205-217):
+
+  * `-f file.blf`      -> bloom-only mode: membership IS the bloom probe
+                          (false positives included in the found set).
+  * `-f hash-list.txt` -> exact mode: 40-hex-char lines, sorted + deduped;
+                          bloom is only an accelerator.
+
+TPU re-design: the device runs a cheap prefilter (exact ECBF probe for
+.blf mode, power-of-two masked probe for list mode) over every candidate
+hash; the host confirms rare prefilter hits with exact semantics and a
+full golden re-derivation (keeping the reference's built-in verification,
+main.c:248-263).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import bloom
+
+
+@dataclasses.dataclass
+class Filter:
+    mode: str                         # "list" | "bloom"
+    targets: np.ndarray | None        # sorted unique (N, 5) u32, list mode
+    blf: bloom.BloomFilter | None     # exact bloom (bloom mode)
+    device_bits: np.ndarray           # u32 bit array for the device probe
+    pow2_log2: int | None             # set in list mode
+    pow2_probes: int = 8
+
+    @property
+    def count(self) -> int:
+        return 0 if self.targets is None else len(self.targets)
+
+    # --- device side ---
+    def device_probe(self, h_words):
+        """jnp (..., 5) hash words -> (...,) bool candidate mask.
+        Must be called under jit with self captured statically."""
+        bits = jnp.asarray(self.device_bits)
+        if self.mode == "bloom":
+            return bloom.probe_exact(h_words, bits, nbits=self.blf.nbits)
+        return bloom.probe_pow2(h_words, bits, log2_bits=self.pow2_log2,
+                                nprobes=self.pow2_probes)
+
+    # --- host side (authoritative) ---
+    def confirm(self, h160_bytes: bytes) -> bool:
+        """Exact membership semantics of ctx_check_hash (main.c:205-217)."""
+        h = np.frombuffer(h160_bytes, dtype=">u4").astype(np.uint32)
+        if self.mode == "bloom":
+            return bool(self.blf.has_many(h[None])[0])
+        idx = np.searchsorted(self._keys, _h160_key(h))
+        return bool(idx < len(self._keys) and self._keys[idx] == _h160_key(h))
+
+    def __post_init__(self):
+        if self.targets is not None:
+            self._keys = _h160_keys(self.targets)
+        else:
+            self._keys = None
+
+
+def _h160_key(h: np.ndarray) -> int:
+    """5xu32 -> int for lexicographic comparison (compare_160 order)."""
+    v = 0
+    for w in h:
+        v = (v << 32) | int(w)
+    return v
+
+
+def _h160_keys(hs: np.ndarray) -> np.ndarray:
+    """(N, 5) -> sorted object array of ints (exact, no collision)."""
+    return np.array(sorted(_h160_key(h) for h in hs), dtype=object)
+
+
+def parse_hash_lines(text: str) -> np.ndarray:
+    """Parse 40-hex-char lines into (N, 5) u32; skip malformed lines
+    (reference skips lines whose length != 40, main.c:97-98)."""
+    rows = []
+    for ln in text.splitlines():
+        ln = ln.strip()
+        if len(ln) != 40:
+            continue
+        try:
+            rows.append([int(ln[i:i + 8], 16) for i in range(0, 40, 8)])
+        except ValueError:
+            continue
+    return np.array(rows, dtype=np.uint32).reshape(-1, 5)
+
+
+def load_filter(path: str) -> Filter:
+    if path.endswith(".blf"):
+        blf = bloom.BloomFilter.load(path)
+        return Filter(mode="bloom", targets=None, blf=blf,
+                      device_bits=blf.as_u32(), pow2_log2=None)
+
+    with open(path) as f:
+        hashes = parse_hash_lines(f.read())
+    if len(hashes) == 0:
+        raise ValueError(f"no hash160 entries found in {path}")
+    # sort + dedupe (reference main.c:113-125)
+    order = np.lexsort(tuple(hashes[:, i] for i in range(4, -1, -1)))
+    hashes = hashes[order]
+    keep = np.ones(len(hashes), dtype=bool)
+    keep[1:] = (hashes[1:] != hashes[:-1]).any(axis=1)
+    hashes = hashes[keep]
+
+    bits, log2b = bloom.build_pow2(hashes)
+    return Filter(mode="list", targets=hashes, blf=None,
+                  device_bits=bits, pow2_log2=log2b)
+
+
+def filter_from_hashes(hashes: np.ndarray) -> Filter:
+    order = np.lexsort(tuple(hashes[:, i] for i in range(4, -1, -1)))
+    hashes = np.unique(hashes[order], axis=0)
+    bits, log2b = bloom.build_pow2(hashes)
+    return Filter(mode="list", targets=hashes, blf=None,
+                  device_bits=bits, pow2_log2=log2b)

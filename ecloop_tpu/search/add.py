@@ -1,0 +1,265 @@
+"""`add` mode: sequential batch-addition search over a contiguous range.
+
+TPU re-architecture of the reference's flagship path (SURVEY.md §3.1;
+reference batch_add/cmd_add, main.c:349-454):
+
+  * The reference walks ONE group center and computes 2048 neighbors via
+    precomputed G-multiples, amortizing a single field inversion per group.
+    Here, **M centers advance in lockstep**, each with K neighbors from a
+    shared table, so one device step covers M*K keys and one *batched*
+    Montgomery inversion (vector-lane parallel) serves all of them —
+    threads->lanes, mutex cursor->host-planned contiguous spans.
+  * The full chain point->serialize->SHA-256->RIPEMD-160->filter-probe
+    runs on device; per step the host receives only packed hit masks.
+  * Endomorphism expansion (6 candidate pubkeys per EC point) happens on
+    device before hashing (reference main.c:300-346).
+  * Hits are re-derived and verified on host from scratch (the reference's
+    pk_verify_hash oracle is kept in-path, main.c:248-263).
+
+Key layout per step t (stride s = 2^offs, h = K/2):
+  flat index j = m*K + i  ->  private key  base + (t*M*K + j) * s
+  lane (m, i) point       =  C_m + (i - h) * s * G,   C_m advancing by MKs*G
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import ecc, fe, golden, hash160
+from ..filters import Filter
+from . import common
+from .common import Claim, Found, SearchConfig
+
+N = golden.N
+
+
+def _variants(cfg: SearchConfig) -> list[tuple[int, bool]]:
+    """Static candidate-variant list: (endo_idx, is_addr33)."""
+    endos = range(6) if cfg.endo else range(1)
+    out = []
+    for e in endos:
+        if cfg.addr33:
+            out.append((e, True))
+        if cfg.addr65:
+            out.append((e, False))
+    return out
+
+
+def _pack_mask(bits):
+    """(B,) bool -> (B//32,) u32, little-endian bit order."""
+    b = bits.reshape(-1, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(b << shifts, axis=-1, dtype=jnp.uint32)
+
+
+def unpack_mask(words: np.ndarray) -> np.ndarray:
+    return np.unpackbits(words.view(np.uint8), bitorder="little")
+
+
+def build_step_fn(cfg: SearchConfig, filt: Filter):
+    """Jitted device step: (centers, table, D, bits) -> (centers', masks).
+
+    masks: (V, M*K/32) u32 — one packed hit plane per candidate variant.
+    """
+    m_, k_ = cfg.centers, cfg.group_k
+    h = k_ // 2
+    is_center = np.zeros(k_, dtype=bool)
+    is_center[h] = True
+    variants = _variants(cfg)
+    beta1 = jnp.asarray(fe.BETA1_LIMBS)
+    beta2 = jnp.asarray(fe.BETA2_LIMBS)
+
+    def step(cx, cy, tx, ty, dpx, dpy, bits):
+        # --- batch affine chord: P[m,i] = C[m] + T[i], plus center advance
+        dx = fe.sub_mod(tx[None], cx[:, None])             # (M, K, 16)
+        dxc = fe.sub_mod(dpx, cx)                          # (M, 16) advance
+        inv_in = jnp.concatenate(
+            [dx.reshape(-1, 16), dxc.reshape(-1, 16)], axis=0)
+        pad = -inv_in.shape[0] % cfg.lanes
+        if pad:
+            inv_in = jnp.concatenate(
+                [inv_in, jnp.broadcast_to(jnp.asarray(fe.ONE), (pad, 16))],
+                axis=0)
+        inv = fe.inv_mod_p_batch(inv_in, lanes=cfg.lanes)
+        inv_dx = inv[:m_ * k_].reshape(m_, k_, 16)
+        inv_dxc = inv[m_ * k_:m_ * k_ + m_]
+
+        px, py = ecc.affine_add(cx[:, None], cy[:, None], tx[None], ty[None],
+                                inv_dx)
+        cmask = jnp.asarray(is_center)[None, :, None]
+        px = jnp.where(cmask, cx[:, None], px)
+        py = jnp.where(cmask, cy[:, None], py)
+        px = px.reshape(-1, 16)
+        py = py.reshape(-1, 16)
+
+        ncx, ncy = ecc.affine_add(cx, cy, jnp.broadcast_to(dpx, cx.shape),
+                                  jnp.broadcast_to(dpy, cy.shape), inv_dxc)
+
+        # --- endo point synthesis (x, bx, b2x) x (y, -y) as needed
+        xs = {0: px}
+        ys = {0: py}
+        need_beta = any(e in (2, 3, 4, 5) for e, _ in variants)
+        need_neg = any(e in (1, 3, 5) for e, _ in variants)
+        if need_beta:
+            xs[1] = fe.mul_mod_p(px, jnp.broadcast_to(beta1, px.shape))
+            xs[2] = fe.mul_mod_p(px, jnp.broadcast_to(beta2, px.shape))
+        if need_neg:
+            ys[1] = fe.neg_mod(py)
+        # endo idx -> (x variant, y variant): see golden.endo_points
+        emap = {0: (0, 0), 1: (0, 1), 2: (1, 0), 3: (1, 1), 4: (2, 0),
+                5: (2, 1)}
+
+        masks = []
+        for e, is33 in variants:
+            xv, yv = emap[e]
+            hw = (hash160.addr33_hash if is33 else hash160.addr65_hash)(
+                xs[xv], ys[yv])
+            hit = filt.device_probe(hw)
+            masks.append(_pack_mask(hit))
+        return ncx, ncy, jnp.stack(masks, axis=0)
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_table(stride: int, k: int, mk: int):
+    """Device gpoints table T[i] = (i - K/2)*stride*G and advance point
+    D = M*K*stride*G (counterpart of ctx_precompute_gpoints,
+    main.c:219-246, built with one batched scalar mul instead of a
+    sequential add chain)."""
+    h = k // 2
+    scalars = [((i - h) * stride) % N for i in range(k)] + [(mk * stride) % N]
+    kl = jnp.asarray(fe.ints_to_limbs(scalars))
+    x, y, z = jax.jit(ecc.scalar_mul)(kl)
+    ax, ay = jax.jit(ecc.proj_to_affine, static_argnames="lanes")(
+        x, y, z, lanes=min(1024, k + 1))
+    tx, ty = ax[:k], ay[:k]
+    dpx, dpy = ax[k], ay[k]
+    return tx, ty, dpx, dpy
+
+
+class AddSearch:
+    """Single-device add-mode engine over one contiguous key span.
+
+    Multi-chip scaling shards *spans* across devices (parallel/mesh.py);
+    each engine instance owns one device's span.
+    """
+
+    def __init__(self, cfg: SearchConfig, filt: Filter):
+        self.cfg = cfg
+        self.filt = filt
+        self.step_fn = build_step_fn(cfg, filt)
+        self.variants = _variants(cfg)
+        mk = cfg.keys_per_step
+        self.tx, self.ty, self.dpx, self.dpy = _cached_table(
+            cfg.stride, cfg.group_k, mk)
+        self.bits = jnp.asarray(filt.device_bits)
+        self.k_checked = 0
+        self.k_found = 0
+
+    def _check_no_degenerate(self, base: int, n_keys: int) -> None:
+        """The chord kernel assumes P != +-Q.  Keys that would violate it
+        live in two tiny intervals at the extremes of the scalar field;
+        refuse them (the reference enforces range_s > GROUP for the same
+        reason, main.c:687-690)."""
+        s = self.cfg.stride
+        mk = self.cfg.keys_per_step
+        lo_bound = max(self.cfg.group_k // 2, mk) * s
+        lo, hi = base, base + n_keys * s
+        if lo <= lo_bound:
+            raise ValueError(
+                f"invalid search range, start <= {lo_bound:#x} "
+                f"(batch geometry K={self.cfg.group_k}, M={self.cfg.centers})")
+        if hi > N - mk * s:
+            raise ValueError("invalid search range, end too close to N")
+
+    def _init_centers(self, base: int):
+        cfg = self.cfg
+        h = cfg.group_k // 2
+        keys = [(base + (m * cfg.group_k + h) * cfg.stride) % N
+                for m in range(cfg.centers)]
+        kl = jnp.asarray(fe.ints_to_limbs(keys))
+        x, y, z = jax.jit(ecc.scalar_mul)(kl)
+        return jax.jit(ecc.proj_to_affine, static_argnames="lanes")(
+            x, y, z, lanes=min(1024, cfg.centers))
+
+    def run_span(self, base: int, n_keys: int, hit_offsets_valid=None,
+                 on_found=None) -> list[Found]:
+        """Search keys base + i*stride for i in [0, n_keys).
+
+        hit_offsets_valid: optional predicate(offset)->bool restricting
+        which offsets may produce finds (claim-coverage parity filter).
+        """
+        cfg = self.cfg
+        mk = cfg.keys_per_step
+        self._check_no_degenerate(base, -(-n_keys // mk) * mk)
+        cx, cy = self._init_centers(base)
+        found = []
+        steps = -(-n_keys // mk)
+        for t in range(steps):
+            cx, cy, masks = self.step_fn(cx, cy, self.tx, self.ty,
+                                         self.dpx, self.dpy, self.bits)
+            masks_np = np.asarray(masks)
+            if masks_np.any():
+                found.extend(self._handle_hits(
+                    base, t * mk, n_keys, masks_np, hit_offsets_valid,
+                    on_found))
+        return found
+
+    def _handle_hits(self, base, step_off, n_keys, masks_np,
+                     hit_offsets_valid, on_found) -> list[Found]:
+        out = []
+        for v, (e, is33) in enumerate(self.variants):
+            idxs = np.nonzero(unpack_mask(masks_np[v]))[0]
+            for j in idxs:
+                off = step_off + int(j)
+                if off >= n_keys:
+                    continue  # step overshoot beyond the span
+                if hit_offsets_valid is not None and not hit_offsets_valid(off):
+                    continue
+                priv = common.recover_priv(base, off, self.cfg.stride, e)
+                label = "addr33" if is33 else "addr65"
+                pt = golden.point_mul(priv)
+                h = (golden.addr33(pt) if is33 else golden.addr65(pt)).hex()
+                # authoritative host check (exact filter semantics)
+                if not self.filt.confirm(bytes.fromhex(h)):
+                    continue  # device prefilter false positive
+                common.verify_found(priv, label, h)
+                f = Found(label=label, h160=h, priv=priv)
+                out.append(f)
+                self.k_found += 1
+                if on_found:
+                    on_found(f)
+        return out
+
+    def run_range(self, on_found=None, on_progress=None) -> list[Found]:
+        """Full reference `add` semantics over [range_s, range_e):
+        claim planning, coverage rounding, counter accounting."""
+        cfg = self.cfg
+        job = cfg.job_size or common.derive_job_size(cfg.range_s, cfg.range_e)
+        claims = list(common.plan_claims(cfg.range_s, cfg.range_e, job,
+                                         cfg.stride))
+        if not claims:
+            return []
+        # contiguous claims -> one span; coverage windows may overlap
+        span_keys = 0
+        windows = []
+        for c in claims:
+            off = (c.start - cfg.range_s) // cfg.stride
+            windows.append((off, off + c.coverage))
+            span_keys = max(span_keys, off + c.coverage)
+            self.k_checked += c.job * (6 if cfg.endo else 1)
+
+        def valid(off):
+            return any(a <= off < b for a, b in windows)
+
+        found = self.run_span(cfg.range_s, span_keys,
+                              hit_offsets_valid=valid, on_found=on_found)
+        if on_progress:
+            on_progress(self.k_checked)
+        return found

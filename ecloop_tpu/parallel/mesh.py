@@ -1,0 +1,138 @@
+"""Multi-chip / multi-host scaling: scalar-range sharding over a device mesh.
+
+TPU-native replacement for the reference's distribution story (SURVEY.md
+§2.8): the reference scales with pthreads in-process and rsync+ssh across
+machines, with a human splitting ranges.  Here:
+
+  * a 1-D `jax.sharding.Mesh` over all chips (axis "rng"),
+  * each device owns a **disjoint contiguous key sub-span** — the M group
+    centers are sharded over the mesh, so device d advances centers
+    m in [d*M/n, (d+1)*M/n) and never communicates with its neighbors
+    during search (data-parallel over the keyspace, the only parallelism
+    this workload admits — SURVEY.md §2.8),
+  * the bloom filter / gpoints table are replicated into every chip's HBM,
+  * per-step counters are `psum`ed over the mesh (ICI), hit masks stay
+    device-local and stream back asynchronously,
+  * multi-host: `jax.distributed.initialize` + `process_index`-derived
+    sub-spans (same code path; the mesh covers all processes' devices).
+
+Implemented with `shard_map` so the batched Montgomery inversion stays
+shard-local (a plain pjit would let XLA all-gather the inversion scan).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .. import fe, golden
+from ..filters import Filter
+from ..search import common
+from ..search.add import (make_step, points_from_scalars, _cached_table,
+                          _variants, unpack_mask)
+from ..search.common import Found, SearchConfig
+
+N = golden.N
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), ("rng",))
+
+
+def sharded_step_builder(cfg: SearchConfig, filt: Filter, mesh: Mesh):
+    """Build the pjit-ed multi-chip step.
+
+    Layout: centers (M, 16) sharded over "rng" (M % n_devices == 0);
+    table/advance-point/bloom bits replicated; masks (V, M*K/32) sharded
+    on their flat-key axis (m-major order makes the shard boundary align
+    with u32 words when (M/n)*K % 32 == 0); per-step checked-counter
+    psum-reduced over the mesh.
+    """
+    n = mesh.devices.size
+    if cfg.centers % n:
+        raise ValueError(f"centers ({cfg.centers}) must divide over "
+                         f"{n} devices")
+    local_cfg = SearchConfig(**{**cfg.__dict__, "centers": cfg.centers // n})
+    raw_step = make_step(local_cfg, filt)
+
+    def spmd_step(cx, cy, tx, ty, dpx, dpy, bits):
+        ncx, ncy, masks = raw_step(cx, cy, tx, ty, dpx, dpy, bits)
+        checked = jax.lax.psum(
+            jnp.asarray(local_cfg.keys_per_step, dtype=jnp.int32), "rng")
+        return ncx, ncy, masks, checked
+
+    sharded = shard_map(
+        spmd_step, mesh=mesh,
+        in_specs=(P("rng"), P("rng"), P(), P(), P(), P(), P()),
+        out_specs=(P("rng"), P("rng"), P(None, "rng"), P()),
+        check_rep=False)
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+class ShardedAddSearch:
+    """Add-mode search sharded over a device mesh.
+
+    Equivalent key coverage to the single-device engine: the global
+    center m covers flat keys [t*MK + m*K, t*MK + (m+1)*K) — identical
+    layout, so found-set parity is preserved chip-count-independently
+    (the reference's multi-host consistency property, SURVEY.md §4.4).
+    """
+
+    def __init__(self, cfg: SearchConfig, filt: Filter, mesh: Mesh | None = None,
+                 init: str = "auto"):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.cfg = cfg
+        self.filt = filt
+        self.init_how = init
+        self.step_fn = sharded_step_builder(cfg, filt, self.mesh)
+        self.variants = _variants(cfg)
+        mk = cfg.keys_per_step
+        self.tx, self.ty, self.dpx, self.dpy = _cached_table(
+            cfg.stride, cfg.group_k, mk, init)
+        self.bits = jnp.asarray(filt.device_bits)
+        self.k_checked = 0
+        self.k_found = 0
+
+    def _shard_centers(self, cx, cy):
+        sh = NamedSharding(self.mesh, P("rng"))
+        return jax.device_put(cx, sh), jax.device_put(cy, sh)
+
+    def run_span(self, base: int, n_keys: int, on_found=None) -> list[Found]:
+        cfg = self.cfg
+        mk = cfg.keys_per_step
+        h = cfg.group_k // 2
+        keys = [(base + (m * cfg.group_k + h) * cfg.stride) % N
+                for m in range(cfg.centers)]
+        cx, cy = points_from_scalars(keys, self.init_how)
+        cx, cy = self._shard_centers(cx, cy)
+        found = []
+        steps = -(-n_keys // mk)
+        for t in range(steps):
+            cx, cy, masks, _ = self.step_fn(cx, cy, self.tx, self.ty,
+                                            self.dpx, self.dpy, self.bits)
+            masks_np = np.asarray(masks)
+            if masks_np.any():
+                for v, (e, is33) in enumerate(self.variants):
+                    for j in np.nonzero(unpack_mask(masks_np[v]))[0]:
+                        off = t * mk + int(j)
+                        if off >= n_keys:
+                            continue
+                        priv = common.recover_priv(base, off, cfg.stride, e)
+                        label = "addr33" if is33 else "addr65"
+                        pt = golden.point_mul(priv)
+                        hh = (golden.addr33(pt) if is33
+                              else golden.addr65(pt)).hex()
+                        if not self.filt.confirm(bytes.fromhex(hh)):
+                            continue
+                        common.verify_found(priv, label, hh)
+                        f = Found(label=label, h160=hh, priv=priv)
+                        found.append(f)
+                        self.k_found += 1
+                        if on_found:
+                            on_found(f)
+            self.k_checked += mk * (6 if cfg.endo else 1)
+        return found

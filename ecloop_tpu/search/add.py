@@ -61,10 +61,11 @@ def unpack_mask(words: np.ndarray) -> np.ndarray:
     return np.unpackbits(words.view(np.uint8), bitorder="little")
 
 
-def build_step_fn(cfg: SearchConfig, filt: Filter):
-    """Jitted device step: (centers, table, D, bits) -> (centers', masks).
-
-    masks: (V, M*K/32) u32 — one packed hit plane per candidate variant.
+def make_step(cfg: SearchConfig, filt: Filter):
+    """Raw (unjitted) device step: (centers, table, D, bits) ->
+    (centers', masks).  masks: (V, M*K/32) u32 — one packed hit plane per
+    candidate variant.  Exposed unjitted so parallel/mesh.py can wrap it
+    in shard_map; single-device users take build_step_fn below.
     """
     m_, k_ = cfg.centers, cfg.group_k
     h = k_ // 2
@@ -123,24 +124,39 @@ def build_step_fn(cfg: SearchConfig, filt: Filter):
             masks.append(_pack_mask(hit))
         return ncx, ncy, jnp.stack(masks, axis=0)
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    return step
+
+
+def build_step_fn(cfg: SearchConfig, filt: Filter):
+    return jax.jit(make_step(cfg, filt), donate_argnums=(0, 1))
+
+
+def points_from_scalars(scalars: list[int], how: str = "auto"):
+    """Affine points scalar*G as limb arrays, computed either with one
+    batched device double-and-add or with the host golden model (faster
+    for small counts and compile-free — used by tests and dryruns)."""
+    if how == "auto":
+        how = "host" if len(scalars) <= 4096 else "device"
+    if how == "host":
+        pts = [golden.point_mul(s) if s % N else (0, 0) for s in scalars]
+        return (jnp.asarray(fe.ints_to_limbs([p[0] for p in pts])),
+                jnp.asarray(fe.ints_to_limbs([p[1] for p in pts])))
+    kl = jnp.asarray(fe.ints_to_limbs(scalars))
+    x, y, z = jax.jit(ecc.scalar_mul)(kl)
+    return jax.jit(ecc.proj_to_affine, static_argnames="lanes")(
+        x, y, z, lanes=min(1024, len(scalars)))
 
 
 @functools.lru_cache(maxsize=8)
-def _cached_table(stride: int, k: int, mk: int):
+def _cached_table(stride: int, k: int, mk: int, how: str = "auto"):
     """Device gpoints table T[i] = (i - K/2)*stride*G and advance point
     D = M*K*stride*G (counterpart of ctx_precompute_gpoints,
     main.c:219-246, built with one batched scalar mul instead of a
     sequential add chain)."""
     h = k // 2
     scalars = [((i - h) * stride) % N for i in range(k)] + [(mk * stride) % N]
-    kl = jnp.asarray(fe.ints_to_limbs(scalars))
-    x, y, z = jax.jit(ecc.scalar_mul)(kl)
-    ax, ay = jax.jit(ecc.proj_to_affine, static_argnames="lanes")(
-        x, y, z, lanes=min(1024, k + 1))
-    tx, ty = ax[:k], ay[:k]
-    dpx, dpy = ax[k], ay[k]
-    return tx, ty, dpx, dpy
+    ax, ay = points_from_scalars(scalars, how)
+    return ax[:k], ay[:k], ax[k], ay[k]
 
 
 class AddSearch:
@@ -150,14 +166,15 @@ class AddSearch:
     each engine instance owns one device's span.
     """
 
-    def __init__(self, cfg: SearchConfig, filt: Filter):
+    def __init__(self, cfg: SearchConfig, filt: Filter, init: str = "auto"):
         self.cfg = cfg
         self.filt = filt
+        self.init_how = init
         self.step_fn = build_step_fn(cfg, filt)
         self.variants = _variants(cfg)
         mk = cfg.keys_per_step
         self.tx, self.ty, self.dpx, self.dpy = _cached_table(
-            cfg.stride, cfg.group_k, mk)
+            cfg.stride, cfg.group_k, mk, init)
         self.bits = jnp.asarray(filt.device_bits)
         self.k_checked = 0
         self.k_found = 0
@@ -183,10 +200,7 @@ class AddSearch:
         h = cfg.group_k // 2
         keys = [(base + (m * cfg.group_k + h) * cfg.stride) % N
                 for m in range(cfg.centers)]
-        kl = jnp.asarray(fe.ints_to_limbs(keys))
-        x, y, z = jax.jit(ecc.scalar_mul)(kl)
-        return jax.jit(ecc.proj_to_affine, static_argnames="lanes")(
-            x, y, z, lanes=min(1024, cfg.centers))
+        return points_from_scalars(keys, self.init_how)
 
     def run_span(self, base: int, n_keys: int, hit_offsets_valid=None,
                  on_found=None) -> list[Found]:

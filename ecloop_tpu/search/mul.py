@@ -41,11 +41,18 @@ N = golden.N
 
 
 @functools.lru_cache(maxsize=2)
-def build_gtable(w: int = 14, lanes: int = 1024):
+def build_gtable(w: int = 14, lanes: int = 1024, how: str = "auto"):
     """Build the device gtable. Returns (tx, ty) of shape (d*(2^w-1), 16)
     with flat layout index = (2^w - 1) * window + (digit - 1)."""
     n = 1 << w
     d = (255 // w) + 1
+    if how == "auto":
+        how = "host" if d * (n - 1) <= 4096 else "device"
+    if how == "host":
+        pts = [golden.point_mul((j * pow(2, w * i, N)) % N)
+               for i in range(d) for j in range(1, n)]
+        return (jnp.asarray(fe.ints_to_limbs([p[0] for p in pts])),
+                jnp.asarray(fe.ints_to_limbs([p[1] for p in pts])))
     # row bases: 2^(w*i) * G via one batched double-and-add
     base_scalars = [pow(2, w * i, N) for i in range(d)]
     kl = jnp.asarray(fe.ints_to_limbs(base_scalars))
@@ -144,13 +151,13 @@ class MulSearch:
     overlap the reference gets from its blocking queue)."""
 
     def __init__(self, cfg: SearchConfig, filt: Filter, w: int = 14,
-                 batch: int = 2048, raw: bool = False):
+                 batch: int = 2048, raw: bool = False, init: str = "auto"):
         self.cfg = cfg
         self.filt = filt
         self.w = w
         self.batch = batch
         self.raw = raw
-        self.tx, self.ty = build_gtable(w, cfg.lanes)
+        self.tx, self.ty = build_gtable(w, cfg.lanes, init)
         self.bits = jnp.asarray(filt.device_bits)
         self.step_fn = build_mul_step(cfg, filt, w, batch)
         self.k_checked = 0

@@ -12,3 +12,16 @@ scalar-range sharding over `jax.sharding.Mesh` for multi-chip scale.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("ECLOOP_JAX_CACHE", "1") == "1":
+    # persistent XLA compile cache: the field/hash graphs are large
+    # (hundreds of fused modmuls) and host compile is the dominant cold
+    # cost — cache them across processes/runs.
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_CACHE", "/tmp/ecloop_jax_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,242 @@
+"""Microbenchmark & verification harness (counterpart of reference
+lib/bench.c: run_bench 17-112, run_bench_gtable 114-141, mult_verify
+143-166).
+
+TPU measurement model: every op is batched over B elements and iterated
+R times inside one jitted lax.fori_loop, so dispatch overhead amortizes
+and the number reported is sustained device throughput (elements/sec),
+comparable against the reference's per-core it/s.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+
+def _rate(fn, *args, iters: int = 3):
+    """Wall-time fn(*args) -> elements/sec (fn returns arrays; blocked)."""
+    import jax
+    out = fn(*args)            # compile + warmup
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return iters / (time.perf_counter() - t0)
+
+
+def _rand_fes(rng: np.random.Generator, n: int):
+    """Random field elements < P as (n, 16) uint32 limbs."""
+    from . import fe
+    vals = [int.from_bytes(rng.bytes(32), "little") % fe.P for _ in range(n)]
+    return np.asarray(fe.ints_to_limbs(vals))
+
+
+def run_bench() -> int:
+    """Per-kernel throughput microbenchmarks with DCE-defeating asserts."""
+    import jax
+    import jax.numpy as jnp
+    from . import ecc, fe, golden, hash160
+
+    B = int(os.environ.get("ECLOOP_BENCH_B", 8192))
+    R = int(os.environ.get("ECLOOP_BENCH_R", 16))
+    rng = np.random.default_rng(42)
+
+    xs = jnp.asarray(_rand_fes(rng, B))
+    ys = jnp.asarray(_rand_fes(rng, B))
+    ks = jnp.asarray(_rand_fes(rng, B))
+    # valid curve points for point-op benches
+    pts = [golden.point_mul(k) for k in range(2, 2 + 64)]
+    px = jnp.asarray(fe.ints_to_limbs([p[0] for p in pts] * (B // 64)))
+    py = jnp.asarray(fe.ints_to_limbs([p[1] for p in pts] * (B // 64)))
+    qx = jnp.roll(px, 1, axis=0)
+    qy = jnp.roll(py, 1, axis=0)
+    one = jnp.broadcast_to(jnp.asarray(fe.ONE), px.shape)
+
+    def loop(body):
+        def fn(*args):
+            def it(_, a):
+                return body(*a)
+            return jax.lax.fori_loop(0, R, it, args)
+        return jax.jit(fn)
+
+    rows = []
+
+    def bench(name, fn, args, per_call):
+        t0 = time.perf_counter()
+        r = _rate(fn, *args)
+        rows.append((name, r * R * per_call / 1e6))
+        if os.environ.get("ECLOOP_BENCH_VERBOSE"):
+            print(f"  [{name}: total {time.perf_counter() - t0:.1f}s]",
+                  flush=True)
+
+    bench("fe_modp_mul", loop(lambda a, b: (fe.mul_mod_p(a, b), b)),
+          (xs, ys), B)
+    bench("fe_modp_sqr", loop(lambda a: (fe.sqr_mod_p(a),)), (xs,), B)
+    bench("fe_modp_inv (fermat chain)",
+          loop(lambda a: (fe.inv_mod_p(a),)), (xs,), B)
+    bench("fe_modp_grpinv (batched)",
+          loop(lambda a: (fe.inv_mod_p_batch(a, lanes=1024),)), (xs,), B)
+
+    bench("ec_affine_add (chord, amortized inv)",
+          loop(lambda ax, ay, bx, by:
+               ecc.batch_affine_add(ax, ay, bx, by, lanes=1024) + (bx, by)),
+          (px, py, qx, qy), B)
+    bench("ec_proj_add",
+          loop(lambda ax, ay, az, bx, by:
+               ecc.proj_add(ax, ay, az, bx, by, az) + (bx, by)),
+          (px, py, one, qx, qy), B)
+    bench("ec_proj_dbl",
+          loop(lambda ax, ay, az: ecc.proj_dbl(ax, ay, az)),
+          (px, py, one), B)
+
+    Bm = min(B, 1024)
+    # heavy enough per call that dispatch amortizes without the fori wrapper
+    r = _rate(jax.jit(ecc.scalar_mul), ks[:Bm])
+    rows.append(("ec_scalar_mul (double-and-add)", r * Bm / 1e6))
+
+    from .search.mul import build_gtable, window_indices
+    w = int(os.environ.get("ECLOOP_GTABLE_W", 14))
+    tx, ty = build_gtable(w)
+    keys = [int.from_bytes(rng.bytes(32), "little") % golden.N
+            for k in range(Bm)]
+    idx = jnp.asarray(window_indices(keys, w).T)
+
+    def gmul(idx_, tx_, ty_):
+        def body(carry, idx_i):
+            qx_, qy_, qz_ = carry
+            gx = jnp.take(tx_, jnp.maximum(idx_i, 0), axis=0)
+            gy = jnp.take(ty_, jnp.maximum(idx_i, 0), axis=0)
+            nx, ny, nz = ecc.proj_add_affine(qx_, qy_, qz_, gx, gy)
+            skip = idx_i < 0
+            return (fe.select(skip, qx_, nx), fe.select(skip, qy_, ny),
+                    fe.select(skip, qz_, nz)), None
+        zeros = jnp.zeros((idx_.shape[1], 16), dtype=jnp.uint32)
+        (ax, ay, az), _ = jax.lax.scan(body, ecc.proj_infinity(zeros), idx_)
+        return ax, ay, az
+
+    r = _rate(jax.jit(gmul), idx, tx, ty)
+    rows.append(("ec_gtable_mul (w=%d)" % w, r * Bm / 1e6))
+
+    bench("addr33 (hash160 compressed)",
+          loop(lambda x, y: (hash160.addr33_hash(x, y), y)), (px, py), B)
+    bench("addr65 (hash160 uncompressed)",
+          loop(lambda x, y: (hash160.addr65_hash(x, y), y)), (px, py), B)
+
+    plat = jax.devices()[0].platform
+    print(f"# device: {plat} x{len(jax.devices())} ~ B={B} R={R}")
+    for name, mits in rows:
+        print(f"{name:42s}: {mits:10.3f} M it/s")
+    return 0
+
+
+def run_bench_gtable() -> int:
+    """Window-width sweep (reference bench.c:114-141): table build time,
+    mul throughput, table memory."""
+    import jax
+    import jax.numpy as jnp
+    from . import ecc, fe, golden
+    from .search.mul import build_gtable, window_indices
+
+    ws = [int(w) for w in os.environ.get(
+        "ECLOOP_GTABLE_WS", "8 10 12 14 16").split()]
+    B = int(os.environ.get("ECLOOP_BENCH_B", 1024))
+    rng = np.random.default_rng(7)
+    keys = [int.from_bytes(rng.bytes(32), "little") % golden.N
+            for _ in range(B)]
+
+    print(f"{'W':>3} | {'G_SIZE':>10} | {'MEM':>9} | {'BUILD_T':>8} |"
+          f" {'MUL_RATE':>12}")
+    for w in ws:
+        n = 1 << w
+        d = (255 // w) + 1
+        npoints = d * (n - 1)
+        t0 = time.perf_counter()
+        build_gtable.cache_clear()
+        tx, ty = build_gtable(w, how="device")
+        jax.block_until_ready((tx, ty))
+        build_t = time.perf_counter() - t0
+        mem_mb = npoints * 2 * 16 * 4 / 2**20
+
+        idx = jnp.asarray(window_indices(keys, w).T)
+
+        def gmul(idx_, tx_=tx, ty_=ty):
+            def body(carry, idx_i):
+                qx_, qy_, qz_ = carry
+                gx = jnp.take(tx_, jnp.maximum(idx_i, 0), axis=0)
+                gy = jnp.take(ty_, jnp.maximum(idx_i, 0), axis=0)
+                nx, ny, nz = ecc.proj_add_affine(qx_, qy_, qz_, gx, gy)
+                skip = idx_i < 0
+                return (fe.select(skip, qx_, nx), fe.select(skip, qy_, ny),
+                        fe.select(skip, qz_, nz)), None
+            zeros = jnp.zeros((idx_.shape[1], 16), dtype=jnp.uint32)
+            (ax, ay, az), _ = jax.lax.scan(
+                body, ecc.proj_infinity(zeros), idx_)
+            return ax, ay, az
+
+        rate = _rate(jax.jit(gmul), idx) * B / 1e6
+        print(f"{w:>3} | {npoints:>10,} | {mem_mb:>6.1f}MB | "
+              f"{build_t:>6.2f}s | {rate:>9.3f} M/s")
+    build_gtable.cache_clear()
+    return 0
+
+
+def mult_verify(count: int | None = None) -> int:
+    """Cross-check the two scalar-mul paths on random scalars + curve
+    membership (reference mult_verify, bench.c:143-166). Exits 1 on any
+    mismatch."""
+    import jax
+    import jax.numpy as jnp
+    from . import ecc, fe, golden
+    from .search.mul import build_gtable, window_indices
+
+    count = count or int(os.environ.get("ECLOOP_VERIFY_N", 16000))
+    B = min(count, 2048)
+    rng = np.random.default_rng(1337)
+    w = 14
+    tx, ty = build_gtable(w)
+
+    daa = jax.jit(lambda k: ecc.scalar_mul(k))
+    rdc = jax.jit(lambda x, y, z: ecc.proj_to_affine(x, y, z, lanes=1024))
+
+    def gmul(idx_, tx_, ty_):
+        def body(carry, idx_i):
+            qx_, qy_, qz_ = carry
+            gx = jnp.take(tx_, jnp.maximum(idx_i, 0), axis=0)
+            gy = jnp.take(ty_, jnp.maximum(idx_i, 0), axis=0)
+            nx, ny, nz = ecc.proj_add_affine(qx_, qy_, qz_, gx, gy)
+            skip = idx_i < 0
+            return (fe.select(skip, qx_, nx), fe.select(skip, qy_, ny),
+                    fe.select(skip, qz_, nz)), None
+        zeros = jnp.zeros((idx_.shape[1], 16), dtype=jnp.uint32)
+        (ax, ay, az), _ = jax.lax.scan(body, ecc.proj_infinity(zeros), idx_)
+        return ax, ay, az
+
+    gmul_j = jax.jit(gmul)
+    oncurve = jax.jit(ecc.on_curve)
+
+    done = 0
+    t0 = time.perf_counter()
+    while done < count:
+        n = min(B, count - done)
+        keys = [1 + int.from_bytes(rng.bytes(32), "little") % (golden.N - 1)
+                for _ in range(n)]
+        kl = jnp.asarray(fe.ints_to_limbs(keys))
+        a = rdc(*daa(kl))
+        idx = jnp.asarray(window_indices(keys, w).T)
+        b = rdc(*gmul_j(idx, tx, ty))
+        if not bool(jnp.all(oncurve(*a)) & jnp.all(oncurve(*b))):
+            print("FAILED: point off curve")
+            return 1
+        if not bool(jnp.all((a[0] == b[0]) & (a[1] == b[1]))):
+            print("FAILED: gtable vs double-and-add mismatch")
+            return 1
+        done += n
+        dt = time.perf_counter() - t0
+        print(f"\r{done:,} / {count:,} ~ {done / dt / 1000:.1f} K/s",
+              end="", flush=True)
+    print("\nOK: all multiplications verified")
+    return 0

@@ -81,12 +81,19 @@ class BloomFilter:
         return self.size * 64
 
     def add_many(self, hashes: np.ndarray) -> None:
+        from . import native
+        if native.available() and hashes.ndim == 2:
+            native.bloom_add(self.bits, hashes)
+            return
         idx = probe_indices_host(hashes).reshape(-1) % np.uint64(self.nbits)
         np.bitwise_or.at(self.bits, (idx >> np.uint64(6)).astype(np.int64),
                          np.uint64(1) << (idx & np.uint64(63)))
 
     def has_many(self, hashes: np.ndarray) -> np.ndarray:
         """(..., 5) -> (...,) bool, all-20-probes membership."""
+        from . import native
+        if native.available() and hashes.ndim == 2:
+            return native.bloom_has(self.bits, hashes)
         idx = probe_indices_host(hashes) % np.uint64(self.nbits)
         words = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
         hit = (words >> (idx & np.uint64(63))) & np.uint64(1)

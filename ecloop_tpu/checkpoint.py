@@ -1,0 +1,94 @@
+"""Cursor checkpoint / resume.
+
+The reference has NO checkpointing — a crashed run loses its position
+(SURVEY.md §5: resume is manual re-run with a narrower -r).  This module
+adds the TPU-build extension recommended there: a tiny JSON cursor file,
+written atomically (tmp+rename) at a bounded cadence, holding the last
+fully-searched key offset plus counters.  `ecloop add ... -c state.json`
+resumes exactly where it stopped; found keys remain durable in `-o`
+(append + flush per hit, like the reference).
+
+The file is keyed by a config fingerprint (cmd, range, stride, addr
+flags, endo, filter path) so a stale checkpoint from a different search
+refuses to resume rather than silently skipping keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+class Checkpoint:
+    def __init__(self, path: str, config_key: dict, min_interval: float = 5.0):
+        self.path = path
+        self.config_key = dict(config_key)
+        self.min_interval = min_interval
+        self._last_write = 0.0
+        self.cursor = None          # next key offset to search (int)
+        self.k_checked = 0
+        self.k_found = 0
+        self.iters = 0              # rnd-mode completed iterations
+
+    # --- load ---
+    def try_resume(self) -> bool:
+        """Load existing state. True if it matches this search and has a
+        cursor to resume from.  Raises ValueError on config mismatch."""
+        if not os.path.exists(self.path):
+            return False
+        with open(self.path) as f:
+            st = json.load(f)
+        if st.get("config") != self.config_key:
+            raise ValueError(
+                f"checkpoint {self.path} belongs to a different search "
+                f"(config mismatch); delete it or use another -c path")
+        self.cursor = st.get("cursor")
+        self.k_checked = int(st.get("k_checked", 0))
+        self.k_found = int(st.get("k_found", 0))
+        self.iters = int(st.get("iters", 0))
+        return self.cursor is not None or self.iters > 0
+
+    # --- save ---
+    def save(self, cursor: int | None = None, k_checked: int | None = None,
+             k_found: int | None = None, iters: int | None = None,
+             force: bool = False) -> None:
+        if cursor is not None:
+            self.cursor = cursor
+        if k_checked is not None:
+            self.k_checked = k_checked
+        if k_found is not None:
+            self.k_found = k_found
+        if iters is not None:
+            self.iters = iters
+        now = time.monotonic()
+        if not force and now - self._last_write < self.min_interval:
+            return
+        self._last_write = now
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({
+                "version": 1,
+                "config": self.config_key,
+                "cursor": self.cursor,
+                "k_checked": self.k_checked,
+                "k_found": self.k_found,
+                "iters": self.iters,
+                "ts": time.time(),
+            }, f)
+        os.replace(tmp, self.path)
+
+
+def config_key_for(cmd: str, cfg, filter_path: str | None,
+                   seed: str | None = None) -> dict:
+    return {
+        "cmd": cmd,
+        "range_s": f"{cfg.range_s:x}",
+        "range_e": f"{cfg.range_e:x}",
+        "stride_offs": cfg.stride_offs,
+        "addr33": cfg.addr33,
+        "addr65": cfg.addr65,
+        "endo": cfg.endo,
+        "filter": os.path.abspath(filter_path) if filter_path else None,
+        "seed": seed,
+    }

@@ -1,0 +1,567 @@
+"""Command-line interface: reference-parity dispatch layer (L6).
+
+Mirrors the reference CLI exactly (/root/reference/main.c:750-906):
+commands `add`, `mul`, `rnd`, `blf-gen`, `blf-check`, `bench`,
+`bench-gtable`, `mult-verify`; flags `-f -o -t -a -r -d -q -endo -seed
+-raw -n -v`.  The `-t <threads>` flag is accepted for compatibility and
+maps to the device count to engage (the TPU analog of a thread pool is
+chips on the mesh; a single-chip run ignores it).
+
+Host-side UX parity:
+  * startup echo `threads: .. ~ addr33: .. | filter: ..` (main.c:849-864)
+  * throttled stderr status `%.2fs ~ %.2f Mkeys/s ~ found / checked`
+    with pause hint (ctx_print_unlocked, main.c:133-144)
+  * found keys to stdout and/or `-o` file as TSV `label\thash\tpriv`
+    with per-hit flush (ctx_write_found, main.c:182-203)
+  * 'p'/'r' raw-TTY pause/resume (tty_init, utils.c:544-624)
+  * locale thousand separators, ANSI color only when stdout is a TTY.
+"""
+
+from __future__ import annotations
+
+import locale
+import os
+import select
+import signal
+import sys
+import termios
+import threading
+import time
+
+from . import __version__
+
+GROUP_INV_SIZE = 2048  # reference GROUP_INV_SIZE (main.c:17)
+
+USAGE = """\
+Usage: {name} <cmd> [-t <threads>] [-f <file>] [-a <addr_type>] [-r <range>]
+ecloop-tpu v{version} ~ TPU-native key-search engine (JAX/XLA/Pallas)
+
+Compute commands:
+  add             - search in given range with batch addition
+  mul             - search hex encoded private keys (from stdin)
+  rnd             - search random range of bits in given range
+
+Compute options:
+  -f <file>       - filter file to search (list of hashes or bloom fitler)
+  -o <file>       - output file to write found keys (default: stdout)
+  -t <threads>    - number of devices to use (default: all)
+  -a <addr_type>  - address type to search: c - addr33, u - addr65 (default: c)
+  -r <range>      - search range in hex format (example: 8000:ffff, default all)
+  -d <offs:size>  - bit offset and size for search (example: 128:32, default: 0:32)
+  -q              - quiet mode (no output to stdout; -o required)
+  -endo           - use endomorphism (default: false)
+
+Other commands:
+  blf-gen         - create bloom filter from list of hex-encoded hash160
+  blf-check       - check bloom filter for given hex-encoded hash160
+  bench           - run benchmark of internal functions
+  bench-gtable    - run benchmark of ecc multiplication (with different table size)
+  mult-verify     - cross-check gtable vs double-and-add multiplication
+"""
+
+
+# --- arg parsing (reference args_bool/args_uint/arg_str, utils.c:157-185) ----
+
+class Args:
+    def __init__(self, argv: list[str]):
+        self.argv = argv
+
+    def get_bool(self, name: str) -> bool:
+        return name in self.argv
+
+    def get_str(self, name: str):
+        for i, a in enumerate(self.argv[:-1]):
+            if a == name:
+                return self.argv[i + 1]
+        return None
+
+    def get_uint(self, name: str, default: int) -> int:
+        v = self.get_str(name)
+        if v is None:
+            return default
+        try:
+            return int(v)
+        except ValueError:
+            return default
+
+
+def _die(msg: str) -> "NoReturn":
+    print(msg, file=sys.stderr)
+    raise SystemExit(1)
+
+
+def parse_range(args: Args) -> tuple[int, int]:
+    """-r hex:hex with the reference's bounds checks (main.c:666-701)."""
+    from . import golden
+    raw = args.get_str("-r")
+    if raw is None:
+        return GROUP_INV_SIZE, golden.P
+    if ":" not in raw:
+        _die("invalid search range, use format: -r 8000:ffff")
+    s_raw, e_raw = raw.split(":", 1)
+    try:
+        range_s = int(s_raw, 16) % golden.N if s_raw else 0
+        range_e = int(e_raw, 16) % golden.N if e_raw else 0
+    except ValueError:
+        _die("invalid search range, use format: -r 8000:ffff")
+    if range_s <= GROUP_INV_SIZE:
+        _die(f"invalid search range, start <= {GROUP_INV_SIZE:#x}")
+    if range_e > golden.P:
+        _die("invalid search range, end > FE_P")
+    if range_s >= range_e:
+        _die("invalid search range, start >= end")
+    return range_s, range_e
+
+
+def parse_offs_size(args: Args, range_e: int, cmd: str, rng) -> tuple[int, int]:
+    """-d offs:size defaulting/clamping (load_offs_size, main.c:703-746)."""
+    MIN_SIZE, MAX_SIZE = 20, 64
+    range_bits = range_e.bit_length()
+    default_bits = max(MIN_SIZE, range_bits) if range_bits < 32 else 32
+    max_offs = max(1, max(MIN_SIZE, range_bits) - default_bits)
+
+    raw = args.get_str("-d")
+    if raw is None:
+        if cmd == "rnd":
+            return rng.rand64() % max_offs, default_bits
+        return 0, default_bits
+    if ":" not in raw:
+        _die("invalid offset:size format, use format: -d 128:32")
+    o_raw, s_raw = raw.split(":", 1)
+    try:
+        offs = int(o_raw or "0")
+        size = int(s_raw or "0")
+    except ValueError:
+        _die("invalid offset:size format, use format: -d 128:32")
+    if offs > 255:
+        _die("invalid offset, max is 255")
+    if not (MIN_SIZE <= size <= MAX_SIZE):
+        _die(f"invalid size, min is {MIN_SIZE} and max is {MAX_SIZE}")
+    return min(max_offs, offs), size
+
+
+# --- status / output (ctx_t UX layer) ----------------------------------------
+
+def _fmt_n(n: int) -> str:
+    """Locale thousands separator (reference setlocale + %'zu)."""
+    return f"{n:,}"
+
+
+class Status:
+    """Progress state shared by all modes (reference ctx_t status fields)."""
+
+    def __init__(self, quiet: bool, outfile: str | None, use_color: bool):
+        self.lock = threading.Lock()
+        self.quiet = quiet
+        self.out = open(outfile, "a") if outfile else None
+        self.use_color = use_color
+        self.k_checked = 0
+        self.k_found = 0
+        self.ts_started = time.monotonic()
+        self.ts_printed = self.ts_started - 5.0
+        self.paused = False
+        self.paused_time = 0.0
+        self._ts_paused_at = 0.0
+        self.finished = False
+
+    def _print_unlocked(self):
+        if self.finished:
+            msg = ""
+        else:
+            msg = " ('r' - resume)" if self.paused else " ('p' - pause)"
+        dt = max(1e-3,
+                 time.monotonic() - self.ts_started - self.paused_time)
+        it = self.k_checked / dt / 1e6
+        end = "\n" if self.finished else "\r"
+        sys.stderr.write("\033[2K\r")
+        sys.stderr.write(f"{dt:.2f}s ~ {it:.2f} Mkeys/s ~ "
+                         f"{_fmt_n(self.k_found)} / {_fmt_n(self.k_checked)}"
+                         f"{msg}{end}")
+        sys.stderr.flush()
+
+    def update(self, k_checked: int):
+        with self.lock:
+            self.k_checked += k_checked
+            now = time.monotonic()
+            if now - self.ts_printed >= 0.1:
+                self.ts_printed = now
+                self._print_unlocked()
+        while self.paused:
+            time.sleep(0.1)
+
+    def pause(self):
+        with self.lock:
+            if not self.paused:
+                self._ts_paused_at = time.monotonic()
+                self.paused = True
+                self._print_unlocked()
+
+    def resume(self):
+        with self.lock:
+            if self.paused:
+                self.paused_time += time.monotonic() - self._ts_paused_at
+                self.paused = False
+                self._print_unlocked()
+
+    def write_found(self, found):
+        """ctx_write_found parity (main.c:182-203)."""
+        with self.lock:
+            if not self.quiet:
+                sys.stderr.write("\033[2K\r")
+                sys.stderr.flush()
+                print(found.line(), flush=True)
+            if self.out is not None:
+                self.out.write(found.tsv() + "\n")
+                self.out.flush()
+            self.k_found += 1
+            self._print_unlocked()
+
+    def finish(self):
+        with self.lock:
+            self.finished = True
+            self._print_unlocked()
+            if self.out is not None:
+                self.out.close()
+                self.out = None
+
+
+class TtyListener:
+    """Raw-mode 'p'/'r' pause/resume listener (utils.c:544-624)."""
+
+    def __init__(self, status: Status):
+        self.status = status
+        self._stop = False
+        self._saved = None
+        self._fd = None
+        self._thread = None
+
+    def start(self):
+        try:
+            self._fd = os.open("/dev/tty", os.O_RDONLY)
+            self._saved = termios.tcgetattr(self._fd)
+        except (OSError, termios.error):
+            return  # no tty (piped/CI) — listener disabled, like select fail
+        mode = termios.tcgetattr(self._fd)
+        mode[3] &= ~(termios.ICANON | termios.ECHO)
+        termios.tcsetattr(self._fd, termios.TCSANOW, mode)
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while not self._stop:
+            r, _, _ = select.select([self._fd], [], [], 0.2)
+            if not r:
+                continue
+            ch = os.read(self._fd, 1)
+            if ch == b"p":
+                self.status.pause()
+            elif ch == b"r":
+                self.status.resume()
+
+    def cleanup(self):
+        self._stop = True
+        if self._saved is not None:
+            termios.tcsetattr(self._fd, termios.TCSANOW, self._saved)
+            os.close(self._fd)
+
+
+# --- commands -----------------------------------------------------------------
+
+def _search_config(args: Args, cmd: str):
+    """Common init path (reference init(), main.c:774-865)."""
+    from . import filters
+    from .search.common import SearchConfig
+    from .search.rnd import Rng
+
+    seed = args.get_str("-seed")
+    rng = Rng(seed)
+
+    path = args.get_str("-f")
+    if not path:
+        _die("missing filter file (-f)")
+    if not os.path.exists(path):
+        _die(f"failed to open filter file: {path}")
+    filt = filters.load_filter(path)
+
+    quiet = args.get_bool("-q")
+    outfile = args.get_str("-o")
+    if outfile is None and quiet:
+        _die("quiet mode chosen without output file")
+
+    addr = args.get_str("-a") or ""
+    addr33 = "c" in addr
+    addr65 = "u" in addr
+    if not addr33 and not addr65:
+        addr33 = True
+
+    endo = args.get_bool("-endo")
+    if cmd == "mul":
+        endo = False  # no endo for mul command (main.c:828)
+
+    range_s, range_e = parse_range(args)
+    offs, size = parse_offs_size(args, range_e, cmd, rng)
+
+    cfg = SearchConfig(range_s=range_s, range_e=range_e, stride_offs=offs,
+                       addr33=addr33, addr65=addr65, endo=endo)
+    # device batch geometry (env-tunable; defaults sized for one TPU chip)
+    cfg.centers = int(os.environ.get("ECLOOP_CENTERS", cfg.centers))
+    cfg.group_k = int(os.environ.get("ECLOOP_GROUP_K", cfg.group_k))
+    cfg.lanes = int(os.environ.get("ECLOOP_LANES", cfg.lanes))
+
+    status = Status(quiet, outfile,
+                    use_color=sys.stdout.isatty())
+
+    n_found = filt.count
+    filt_desc = (f"list ({_fmt_n(n_found)})" if filt.mode == "list"
+                 else "bloom")
+    ndev = _device_count(args)
+    print(f"devices: {ndev} ~ addr33: {int(addr33)} ~ addr65: {int(addr65)} "
+          f"~ endo: {int(endo)} | filter: {filt_desc}")
+    if cmd == "add":
+        print(f"range_s: {range_s:064x}")
+        print(f"range_e: {range_e:064x}")
+    print("-" * 40)
+    return cfg, filt, status, rng, (offs, size)
+
+
+def _device_count(args: Args) -> int:
+    import jax
+    t = args.get_uint("-t", 0)
+    n = len(jax.devices())
+    return min(max(t, 1), n) if t else n
+
+
+def _install_sigint(status: Status, tty: TtyListener):
+    def handler(sig, frame):
+        tty.cleanup()
+        sys.stderr.flush()
+        sys.stdout.flush()
+        print()
+        raise SystemExit(sig)
+    signal.signal(signal.SIGINT, handler)
+
+
+def cmd_add(args: Args) -> int:
+    from .search.add import AddSearch
+    from .parallel.mesh import ShardedAddSearch, make_mesh
+    from . import checkpoint as ckpt_mod
+    import jax
+
+    cfg, filt, status, _rng, _ = _search_config(args, "add")
+    ndev = _device_count(args)
+
+    # -c <file>: cursor checkpoint/resume (extension over the reference,
+    # SURVEY.md §5 'checkpoint/resume: none')
+    ckpt = None
+    start_offset = 0
+    cpath = args.get_str("-c")
+    if cpath:
+        key = ckpt_mod.config_key_for("add", cfg, args.get_str("-f"))
+        ckpt = ckpt_mod.Checkpoint(cpath, key)
+        try:
+            if ckpt.try_resume():
+                start_offset = int(ckpt.cursor or 0)
+                status.k_found = ckpt.k_found
+                print(f"resuming from checkpoint: offset "
+                      f"{_fmt_n(start_offset)} keys")
+        except ValueError as e:
+            _die(str(e))
+
+    def on_step(done_keys):
+        mult = 6 if cfg.endo else 1
+        status.update(done_keys * mult - status.k_checked)
+        if ckpt:
+            ckpt.save(cursor=done_keys, k_checked=status.k_checked,
+                      k_found=status.k_found)
+
+    tty = TtyListener(status)
+    _install_sigint(status, tty)
+    tty.start()
+    try:
+        if ndev > 1:
+            mesh = make_mesh(jax.devices()[:ndev])
+            # round centers up to a multiple of the device count
+            cfg.centers = -(-cfg.centers // ndev) * ndev
+            eng = ShardedAddSearch(cfg, filt, mesh)
+            keys = -(-(cfg.range_e - cfg.range_s) // cfg.stride)
+            eng.run_span(
+                (cfg.range_s + start_offset * cfg.stride),
+                keys - start_offset,
+                on_found=status.write_found,
+                on_step=lambda d: on_step(start_offset + d))
+        else:
+            eng = AddSearch(cfg, filt)
+            eng.run_range(on_found=status.write_found,
+                          start_offset=start_offset, on_step=on_step)
+        if ckpt:
+            ckpt.save(force=True)
+        status.finish()
+    finally:
+        tty.cleanup()
+    return 0
+
+
+def cmd_mul(args: Args) -> int:
+    from .search.mul import MulSearch
+
+    cfg, filt, status, _rng, _ = _search_config(args, "mul")
+    raw = args.get_bool("-raw")
+    eng = MulSearch(cfg, filt, raw=raw)
+
+    tty = TtyListener(status)
+    _install_sigint(status, tty)
+    tty.start()
+    try:
+        batch = []
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            batch.append(line)
+            if len(batch) >= eng.batch:
+                eng.run_lines(batch, on_found=status.write_found)
+                status.update(len(batch))
+                batch = []
+        if batch:
+            eng.run_lines(batch, on_found=status.write_found)
+            status.update(len(batch))
+        status.finish()
+    finally:
+        tty.cleanup()
+    return 0
+
+
+def cmd_rnd(args: Args) -> int:
+    from .search.rnd import RndSearch, format_range_mask
+
+    cfg, filt, status, rng, (offs, size) = _search_config(args, "rnd")
+    seed = args.get_str("-seed")
+    eng = RndSearch(cfg, filt, seed=seed, offs=offs, size=size)
+    use_color = sys.stdout.isatty()
+
+    tty = TtyListener(status)
+    _install_sigint(status, tty)
+    tty.start()
+
+    def on_iter(i, lo, hi, got):
+        print(format_range_mask(lo, eng.offs, eng.size, use_color))
+        print(format_range_mask(hi, eng.offs, eng.size, use_color))
+        status.update(eng.engine.k_checked - status.k_checked)
+
+    try:
+        eng.run(on_found=status.write_found, on_iter=on_iter)
+        status.finish()
+    finally:
+        tty.cleanup()
+    return 0
+
+
+def cmd_blf_gen(args: Args) -> int:
+    """blf-gen parity (utils.c:400-475): -n <count> -o <file.blf>,
+    hex160 lines from stdin, incremental update of same-size filters."""
+    import numpy as np
+    from . import bloom
+    from .filters import parse_hash_lines
+
+    n = args.get_uint("-n", 0)
+    if n <= 0:
+        _die("missing filter size (-n <count>)")
+    path = args.get_str("-o")
+    if not path:
+        _die("missing output file (-o <file.blf>)")
+    if not path.endswith(".blf"):
+        _die("output file should have .blf extension")
+
+    fresh = bloom.BloomFilter.for_count(n)
+    if os.path.exists(path):
+        blf = bloom.BloomFilter.load(path)
+        if blf.size != fresh.size:
+            _die("filter size mismatch; delete existing file or use same -n")
+    else:
+        blf = fresh
+
+    hashes = parse_hash_lines(sys.stdin.read())
+    added = dups = 0
+    for h in hashes:
+        if blf.has_many(h[None])[0]:
+            dups += 1
+            continue
+        blf.add_many(h[None])
+        added += 1
+    blf.save(path)
+    print(f"added {_fmt_n(added)} hashes ({_fmt_n(dups)} duplicates) "
+          f"~ size {_fmt_n(blf.size * 8)} bytes")
+    return 0
+
+
+def cmd_blf_check(args: Args) -> int:
+    """blf-check parity (utils.c:477-529)."""
+    from . import bloom
+    from .hash160 import hex_to_h160
+
+    path = args.get_str("-f")
+    if not path or not path.endswith(".blf"):
+        _die("missing bloom filter file (-f <file.blf>)")
+    blf = bloom.BloomFilter.load(path)
+
+    # hashes from trailing args or stdin
+    items = [a for a in args.argv[2:]
+             if len(a) == 40 and not a.startswith("-")]
+    if not items:
+        items = [ln.strip() for ln in sys.stdin if len(ln.strip()) == 40]
+    rc = 0
+    for hx in items:
+        try:
+            h = hex_to_h160(hx)
+        except ValueError:
+            continue
+        ok = bool(blf.has_many(h[None])[0])
+        print(f"{hx}: {'FOUND' if ok else 'NOT FOUND'}")
+        if not ok:
+            rc = 1
+    return rc
+
+
+def main(argv: list[str] | None = None) -> int:
+    locale.setlocale(locale.LC_ALL, "")
+    argv = list(sys.argv if argv is None else argv)
+    args = Args(argv)
+    cmd = argv[1] if len(argv) > 1 else None
+
+    # -platform cpu|tpu: select the JAX backend before first use (the
+    # env-var route does not work where jax is pre-imported at startup)
+    plat = args.get_str("-platform")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+    if cmd == "blf-gen":
+        return cmd_blf_gen(args)
+    if cmd == "blf-check":
+        return cmd_blf_check(args)
+    if cmd == "bench":
+        from .benchlib import run_bench
+        return run_bench()
+    if cmd == "bench-gtable":
+        from .benchlib import run_bench_gtable
+        return run_bench_gtable()
+    if cmd == "mult-verify":
+        from .benchlib import mult_verify
+        return mult_verify()
+    if cmd == "add":
+        return cmd_add(args)
+    if cmd == "mul":
+        return cmd_mul(args)
+    if cmd == "rnd":
+        return cmd_rnd(args)
+
+    if args.get_bool("-v"):
+        print(f"ecloop-tpu v{__version__}")
+        return 0
+    print(USAGE.format(name=os.path.basename(argv[0] or "ecloop"),
+                       version=__version__))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

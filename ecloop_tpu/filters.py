@@ -21,7 +21,7 @@ import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
-from . import bloom
+from . import bloom, native
 
 
 @dataclasses.dataclass
@@ -53,6 +53,8 @@ class Filter:
         h = np.frombuffer(h160_bytes, dtype=">u4").astype(np.uint32)
         if self.mode == "bloom":
             return bool(self.blf.has_many(h[None])[0])
+        if native.available():
+            return native.list_search(self.targets, h) >= 0
         idx = np.searchsorted(self._keys, _h160_key(h))
         return bool(idx < len(self._keys) and self._keys[idx] == _h160_key(h))
 

@@ -17,11 +17,28 @@ All functions take/return uint32 arrays with a leading batch shape.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from . import fe
+
+# Round-loop structure: "unroll" traces all hash rounds into one fused
+# elementwise chain (best TPU runtime; heavy compile), "scan" runs them
+# as lax.scan loops (fast compile; per-iteration loop latency).  The
+# TPU default is unroll; CPU (tests/golden checks) defaults to scan
+# because XLA:CPU's LLVM pipeline is pathological on the giant fused
+# block.  Override with ECLOOP_HASH_UNROLL=0/1.
+def _unroll_default() -> bool:
+    v = os.environ.get("ECLOOP_HASH_UNROLL")
+    if v is not None:
+        return v == "1"
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
 
 _U32 = jnp.uint32
 M32 = np.uint32(0xFFFFFFFF)
@@ -67,22 +84,40 @@ def sha256_compress(w16, state=None):
         w.append(w[i - 16] + s0 + w[i - 7] + s1)
 
     a, b, c, d, e, f, g, h = state
-    ws = jnp.stack(w, axis=0)                      # (64, ...)
-    ks = jnp.asarray(SHA_K)
 
-    def round_fn(carry, inp):
-        a, b, c, d, e, f, g, h = carry
-        wi, ki = inp
-        s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
-        ch = (e & f) ^ (~e & g)
-        t1 = h + s1 + ch + ki + wi
-        s0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
-        maj = (a & b) ^ (a & c) ^ (b & c)
-        t2 = s0 + maj
-        return (t1 + t2, a, b, c, d + t1, e, f, g), None
+    if _unroll_default():
+        # fully unrolled rounds: a 64-step lax.scan pays per-iteration
+        # while-loop latency on a tiny elementwise body; unrolled, the
+        # TPU compiler fuses the whole compression into wide VPU kernels.
+        a2, b2, c2, d2, e2, f2, g2, h2 = a, b, c, d, e, f, g, h
+        for i in range(64):
+            ki = np.uint32(SHA_K[i])
+            s1 = _rotr(e2, 6) ^ _rotr(e2, 11) ^ _rotr(e2, 25)
+            ch = (e2 & f2) ^ (~e2 & g2)
+            t1 = h2 + s1 + ch + ki + w[i]
+            s0 = _rotr(a2, 2) ^ _rotr(a2, 13) ^ _rotr(a2, 22)
+            maj = (a2 & b2) ^ (a2 & c2) ^ (b2 & c2)
+            t2 = s0 + maj
+            a2, b2, c2, d2, e2, f2, g2, h2 = \
+                t1 + t2, a2, b2, c2, d2 + t1, e2, f2, g2
+    else:
+        ws = jnp.stack(w, axis=0)                      # (64, ...)
+        ks = jnp.asarray(SHA_K)
 
-    (a2, b2, c2, d2, e2, f2, g2, h2), _ = jax.lax.scan(
-        round_fn, (a, b, c, d, e, f, g, h), (ws, ks))
+        def round_fn(carry, inp):
+            a, b, c, d, e, f, g, h = carry
+            wi, ki = inp
+            s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+            ch = (e & f) ^ (~e & g)
+            t1 = h + s1 + ch + ki + wi
+            s0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+            maj = (a & b) ^ (a & c) ^ (b & c)
+            t2 = s0 + maj
+            return (t1 + t2, a, b, c, d + t1, e, f, g), None
+
+        (a2, b2, c2, d2, e2, f2, g2, h2), _ = jax.lax.scan(
+            round_fn, (a, b, c, d, e, f, g, h), (ws, ks))
+
     out = [a + a2, b + b2, c + c2, d + d2, e + e2, f + f2, g + g2, h + h2]
     return jnp.stack(out, axis=-1)
 
@@ -118,8 +153,13 @@ RMD_IV = np.array([0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476, 0xC3D2E1F0],
                   dtype=np.uint32)
 
 
+def _rotl(x, n: int):
+    """rotate-left by a static amount."""
+    return (x << n) | (x >> (32 - n))
+
+
 def _rotl_v(x, n):
-    """rotate-left by a (possibly traced) vector amount."""
+    """rotate-left by a traced vector amount."""
     n = n.astype(_U32)
     return (x << n) | (x >> (np.uint32(32) - n))
 
@@ -144,31 +184,48 @@ def rmd160_compress(w16):
     al, bl, cl, dl, el = h
     ar, br, cr, dr, er = h
 
-    # run each 16-round group as a scan with its (static) round function;
-    # message words and rotations are scanned inputs.
-    for g in range(5):
-        sl = slice(16 * g, 16 * g + 16)
-        xs_l = jnp.moveaxis(jnp.take(w16, jnp.asarray(_R1[sl]), axis=-1), -1, 0)
-        xs_r = jnp.moveaxis(jnp.take(w16, jnp.asarray(_R2[sl]), axis=-1), -1, 0)
-        ss_l = jnp.asarray(_S1[sl], dtype=np.uint32)
-        ss_r = jnp.asarray(_S2[sl], dtype=np.uint32)
-        k_l = np.uint32(_K1[g])
-        k_r = np.uint32(_K2[g])
+    if _unroll_default():
+        # fully unrolled 80 rounds x 2 lanes (see sha256_compress note):
+        # static message-word selection and static rotation amounts let
+        # the TPU compiler fuse the whole compression.
+        x = [w16[..., i] for i in range(16)]
+        for i in range(80):
+            g = i // 16
+            t = (al + _rmd_group_f(g, bl, cl, dl) + x[_R1[i]]
+                 + np.uint32(_K1[g]))
+            t = _rotl(t, int(_S1[i])) + el
+            al, el, dl, cl, bl = el, dl, _rotl(cl, 10), bl, t
+            t = (ar + _rmd_group_f(4 - g, br, cr, dr) + x[_R2[i]]
+                 + np.uint32(_K2[g]))
+            t = _rotl(t, int(_S2[i])) + er
+            ar, er, dr, cr, br = er, dr, _rotl(cr, 10), br, t
+    else:
+        # scan per 16-round group with dynamic-amount rotations
+        for g in range(5):
+            sl = slice(16 * g, 16 * g + 16)
+            xs_l = jnp.moveaxis(
+                jnp.take(w16, jnp.asarray(_R1[sl]), axis=-1), -1, 0)
+            xs_r = jnp.moveaxis(
+                jnp.take(w16, jnp.asarray(_R2[sl]), axis=-1), -1, 0)
+            ss_l = jnp.asarray(_S1[sl], dtype=np.uint32)
+            ss_r = jnp.asarray(_S2[sl], dtype=np.uint32)
+            k_l = np.uint32(_K1[g])
+            k_r = np.uint32(_K2[g])
 
-        def grp(carry, inp, g=g, k_l=k_l, k_r=k_r):
-            al, bl, cl, dl, el, ar, br, cr, dr, er = carry
-            xl, xr, sl_, sr_ = inp
-            t = al + _rmd_group_f(g, bl, cl, dl) + xl + k_l
-            t = _rotl_v(t, jnp.broadcast_to(sl_, t.shape)) + el
-            al, el, dl, cl, bl = el, dl, _rotl_v(cl, np.uint32(10)), bl, t
-            t = ar + _rmd_group_f(4 - g, br, cr, dr) + xr + k_r
-            t = _rotl_v(t, jnp.broadcast_to(sr_, t.shape)) + er
-            ar, er, dr, cr, br = er, dr, _rotl_v(cr, np.uint32(10)), br, t
-            return (al, bl, cl, dl, el, ar, br, cr, dr, er), None
+            def grp(carry, inp, g=g, k_l=k_l, k_r=k_r):
+                al, bl, cl, dl, el, ar, br, cr, dr, er = carry
+                xl, xr, sl_, sr_ = inp
+                t = al + _rmd_group_f(g, bl, cl, dl) + xl + k_l
+                t = _rotl_v(t, jnp.broadcast_to(sl_, t.shape)) + el
+                al, el, dl, cl, bl = el, dl, _rotl(cl, 10), bl, t
+                t = ar + _rmd_group_f(4 - g, br, cr, dr) + xr + k_r
+                t = _rotl_v(t, jnp.broadcast_to(sr_, t.shape)) + er
+                ar, er, dr, cr, br = er, dr, _rotl(cr, 10), br, t
+                return (al, bl, cl, dl, el, ar, br, cr, dr, er), None
 
-        (al, bl, cl, dl, el, ar, br, cr, dr, er), _ = jax.lax.scan(
-            grp, (al, bl, cl, dl, el, ar, br, cr, dr, er),
-            (xs_l, xs_r, ss_l, ss_r))
+            (al, bl, cl, dl, el, ar, br, cr, dr, er), _ = jax.lax.scan(
+                grp, (al, bl, cl, dl, el, ar, br, cr, dr, er),
+                (xs_l, xs_r, ss_l, ss_r))
 
     out = [h[1] + cl + dr, h[2] + dl + er, h[3] + el + ar,
            h[4] + al + br, h[0] + bl + cr]

@@ -101,7 +101,8 @@ class ShardedAddSearch:
         sh = NamedSharding(self.mesh, P("rng"))
         return jax.device_put(cx, sh), jax.device_put(cy, sh)
 
-    def run_span(self, base: int, n_keys: int, on_found=None) -> list[Found]:
+    def run_span(self, base: int, n_keys: int, on_found=None,
+                 on_step=None) -> list[Found]:
         cfg = self.cfg
         mk = cfg.keys_per_step
         h = cfg.group_k // 2
@@ -123,9 +124,7 @@ class ShardedAddSearch:
                             continue
                         priv = common.recover_priv(base, off, cfg.stride, e)
                         label = "addr33" if is33 else "addr65"
-                        pt = golden.point_mul(priv)
-                        hh = (golden.addr33(pt) if is33
-                              else golden.addr65(pt)).hex()
+                        hh = common.derive_h160(priv, is33)
                         if not self.filt.confirm(bytes.fromhex(hh)):
                             continue
                         common.verify_found(priv, label, hh)
@@ -135,4 +134,6 @@ class ShardedAddSearch:
                         if on_found:
                             on_found(f)
             self.k_checked += mk * (6 if cfg.endo else 1)
+            if on_step:
+                on_step(min((t + 1) * mk, n_keys))
         return found

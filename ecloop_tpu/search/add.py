@@ -151,11 +151,18 @@ def points_from_scalars(scalars: list[int], how: str = "auto"):
 def _cached_table(stride: int, k: int, mk: int, how: str = "auto"):
     """Device gpoints table T[i] = (i - K/2)*stride*G and advance point
     D = M*K*stride*G (counterpart of ctx_precompute_gpoints,
-    main.c:219-246, built with one batched scalar mul instead of a
-    sequential add chain)."""
+    main.c:219-246, built host-side with an incremental add chain like
+    the reference; i == K/2 is the infinity slot, stored as (0, 0))."""
     h = k // 2
-    scalars = [((i - h) * stride) % N for i in range(k)] + [(mk * stride) % N]
-    ax, ay = points_from_scalars(scalars, how)
+    step = golden.point_mul(stride)
+    p = golden.point_mul((-h * stride) % N)
+    pts = []
+    for _ in range(k):
+        pts.append(p if p is not None else (0, 0))
+        p = golden.point_add(p, step)
+    pts.append(golden.point_mul((mk * stride) % N))
+    ax = jnp.asarray(fe.ints_to_limbs([q[0] for q in pts]))
+    ay = jnp.asarray(fe.ints_to_limbs([q[1] for q in pts]))
     return ax[:k], ay[:k], ax[k], ay[k]
 
 
@@ -180,20 +187,33 @@ class AddSearch:
         self.k_found = 0
 
     def _check_no_degenerate(self, base: int, n_keys: int) -> None:
-        """The chord kernel assumes P != +-Q.  Keys that would violate it
-        live in two tiny intervals at the extremes of the scalar field;
-        refuse them (the reference enforces range_s > GROUP for the same
-        reason, main.c:687-690)."""
-        s = self.cfg.stride
-        mk = self.cfg.keys_per_step
-        lo_bound = max(self.cfg.group_k // 2, mk) * s
-        lo, hi = base, base + n_keys * s
-        if lo <= lo_bound:
-            raise ValueError(
-                f"invalid search range, start <= {lo_bound:#x} "
-                f"(batch geometry K={self.cfg.group_k}, M={self.cfg.centers})")
-        if hi > N - mk * s:
-            raise ValueError("invalid search range, end too close to N")
+        """The chord kernel assumes P != +-Q.  A center key c collides
+        exactly when c = +-(i - K/2)*s (a table point) or c = +-M*K*s
+        (the advance point) mod N.  Center keys are base + k*s for a
+        known set of offsets k, so membership is an exact O(K) host
+        check — the reference instead enforces range_s > GROUP
+        (main.c:687-690); this is the precise version of that guard."""
+        cfg = self.cfg
+        s = cfg.stride
+        k_ = cfg.group_k
+        mk = cfg.keys_per_step
+        s_inv = pow(s, -1, N)
+        # all degenerate scalar values (+- covered by symmetric j range)
+        bad = {(j * s) % N for j in range(-(k_ // 2), k_ // 2 + 1)}
+        bad |= {(mk * s) % N, (-mk * s) % N}
+        # center keys live at offsets {m*K + K/2 + t*MK}; conservatively
+        # test every offset in the (step-rounded) span
+        # only *center* keys take part in chord additions; centers sit at
+        # flat offsets k with k % K == K/2
+        span = -(-n_keys // mk) * mk
+        for v in bad:
+            k = ((v - base) * s_inv) % N
+            if k < span and k % k_ == k_ // 2:
+                raise ValueError(
+                    f"invalid search range: key {v:#x} inside the span "
+                    f"collides with the batch geometry (K={k_}, M="
+                    f"{cfg.centers}, stride=2^{cfg.stride_offs}); shift "
+                    f"the range start or change geometry")
 
     def _init_centers(self, base: int):
         cfg = self.cfg
@@ -203,11 +223,13 @@ class AddSearch:
         return points_from_scalars(keys, self.init_how)
 
     def run_span(self, base: int, n_keys: int, hit_offsets_valid=None,
-                 on_found=None) -> list[Found]:
+                 on_found=None, on_step=None) -> list[Found]:
         """Search keys base + i*stride for i in [0, n_keys).
 
         hit_offsets_valid: optional predicate(offset)->bool restricting
         which offsets may produce finds (claim-coverage parity filter).
+        on_step(keys_done): called after each completed device step with
+        the cumulative searched-key count (checkpoint cursor hook).
         """
         cfg = self.cfg
         mk = cfg.keys_per_step
@@ -223,6 +245,8 @@ class AddSearch:
                 found.extend(self._handle_hits(
                     base, t * mk, n_keys, masks_np, hit_offsets_valid,
                     on_found))
+            if on_step:
+                on_step(min((t + 1) * mk, n_keys))
         return found
 
     def _handle_hits(self, base, step_off, n_keys, masks_np,
@@ -238,8 +262,7 @@ class AddSearch:
                     continue
                 priv = common.recover_priv(base, off, self.cfg.stride, e)
                 label = "addr33" if is33 else "addr65"
-                pt = golden.point_mul(priv)
-                h = (golden.addr33(pt) if is33 else golden.addr65(pt)).hex()
+                h = common.derive_h160(priv, is33)
                 # authoritative host check (exact filter semantics)
                 if not self.filt.confirm(bytes.fromhex(h)):
                     continue  # device prefilter false positive
@@ -251,9 +274,15 @@ class AddSearch:
                     on_found(f)
         return out
 
-    def run_range(self, on_found=None, on_progress=None) -> list[Found]:
+    def run_range(self, on_found=None, on_progress=None, start_offset: int = 0,
+                  on_step=None) -> list[Found]:
         """Full reference `add` semantics over [range_s, range_e):
-        claim planning, coverage rounding, counter accounting."""
+        claim planning, coverage rounding, counter accounting.
+
+        start_offset: resume cursor — skip the first `start_offset` keys
+        (checkpoint.py); on_step(abs_keys_done) reports cumulative
+        progress in absolute key offsets from range_s.
+        """
         cfg = self.cfg
         job = cfg.job_size or common.derive_job_size(cfg.range_s, cfg.range_e)
         claims = list(common.plan_claims(cfg.range_s, cfg.range_e, job,
@@ -269,11 +298,18 @@ class AddSearch:
             span_keys = max(span_keys, off + c.coverage)
             self.k_checked += c.job * (6 if cfg.endo else 1)
 
-        def valid(off):
-            return any(a <= off < b for a, b in windows)
+        if start_offset >= span_keys:
+            return []
 
-        found = self.run_span(cfg.range_s, span_keys,
-                              hit_offsets_valid=valid, on_found=on_found)
+        def valid(off):
+            return any(a <= off + start_offset < b for a, b in windows)
+
+        found = self.run_span(
+            (cfg.range_s + start_offset * cfg.stride) % common.N,
+            span_keys - start_offset, hit_offsets_valid=valid,
+            on_found=on_found,
+            on_step=(lambda done: on_step(start_offset + done))
+            if on_step else None)
         if on_progress:
             on_progress(self.k_checked)
         return found

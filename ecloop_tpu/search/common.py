@@ -10,9 +10,22 @@ from __future__ import annotations
 import dataclasses
 from typing import Iterator
 
-from .. import golden
+from .. import golden, native
 
 N = golden.N
+
+
+def derive_h160(priv: int, is33: bool) -> str:
+    """hash160(priv*G) as hex — the host re-derivation used on device
+    prefilter hits.  Uses the independent native C++ oracle when built
+    (a *different* implementation from both the device kernels and the
+    Python golden model), else the golden model."""
+    if native.available():
+        h = native.pk_hash160(priv % N, is33)
+        if h is not None:
+            return h.hex()
+    pt = golden.point_mul(priv)
+    return (golden.addr33(pt) if is33 else golden.addr65(pt)).hex()
 
 # reference constants (main.c:16-17); GROUP is the coverage-rounding unit
 # of a claim (batch_add processes ceil(job/GROUP) groups of GROUP keys)
@@ -91,8 +104,7 @@ def verify_found(priv: int, label: str, expect_h160: str) -> None:
     """Full re-derivation oracle (pk_verify_hash, main.c:248-263):
     derive pubkey from scratch and compare the hash.  Raises on mismatch
     (a math bug that survived to a filter hit)."""
-    pt = golden.point_mul(priv)
-    h = (golden.addr33(pt) if label == "addr33" else golden.addr65(pt)).hex()
+    h = derive_h160(priv, label == "addr33")
     if h != expect_h160:
         raise AssertionError(
             f"hash mismatch for pk={priv:064x} ({label}): "

@@ -34,56 +34,87 @@ import jax.numpy as jnp
 
 from .. import ecc, fe, golden, hash160
 from ..filters import Filter
+from . import common
 from .common import Found, SearchConfig
 from .add import _pack_mask, unpack_mask
 
 N = golden.N
 
 
+def _host_progression(start: "golden.Point", step: "golden.Point",
+                      count: int) -> list:
+    """count affine points start, start+step, ... via incremental host
+    adds (the reference builds its tables the same way,
+    ctx_precompute_gpoints main.c:228-236)."""
+    out = []
+    p = start
+    for _ in range(count):
+        out.append(p)
+        p = golden.point_add(p, step)
+    return out
+
+
 @functools.lru_cache(maxsize=2)
 def build_gtable(w: int = 14, lanes: int = 1024, how: str = "auto"):
-    """Build the device gtable. Returns (tx, ty) of shape (d*(2^w-1), 16)
-    with flat layout index = (2^w - 1) * window + (digit - 1)."""
+    """Build the gtable: (tx, ty) of shape (d*(2^w-1), 16), flat layout
+    index = (2^w - 1) * window + (digit - 1).
+
+    Device build is 3 fixed-shape jit graphs (TPU-friendly, no
+    shape-polymorphic recompiles):
+      1. row 0 (j*G for j in 1..2^w-1) = one batched affine add over the
+         outer sum of two host-built seed tables j = a + b*2^(w/2),
+      2. rows 1..d-1 = lax.scan of w projective doublings per row
+         (row i = 2^w * row i-1),
+      3. one chunked batch reduction to affine.
+    """
     n = 1 << w
     d = (255 // w) + 1
     if how == "auto":
         how = "host" if d * (n - 1) <= 4096 else "device"
     if how == "host":
-        pts = [golden.point_mul((j * pow(2, w * i, N)) % N)
-               for i in range(d) for j in range(1, n)]
+        pts = []
+        for i in range(d):
+            base = golden.point_mul(pow(2, w * i, N))
+            pts.extend(_host_progression(base, base, n - 1))
         return (jnp.asarray(fe.ints_to_limbs([p[0] for p in pts])),
                 jnp.asarray(fe.ints_to_limbs([p[1] for p in pts])))
-    # row bases: 2^(w*i) * G via one batched double-and-add
-    base_scalars = [pow(2, w * i, N) for i in range(d)]
-    kl = jnp.asarray(fe.ints_to_limbs(base_scalars))
-    x, y, z = jax.jit(ecc.scalar_mul)(kl)
-    bx, by = jax.jit(ecc.proj_to_affine, static_argnames="lanes")(
-        x, y, z, lanes=min(lanes, d))
 
-    # grow all rows in lockstep: have multiples [1..m] of every base,
-    # produce [m+1..2m] = m*b + [1..m] (j == m handled as doubling)
+    # --- 1. row 0: j*G via outer sum of seed tables --------------------
+    half = 1 << (w // 2)
+    rest = n // half
+    t1 = _host_progression(golden.G, golden.G, half)          # a*G, a in 1..half
+    g_half = golden.point_mul(half)
+    t2 = _host_progression(g_half, g_half, rest - 1)          # b*half*G, b>=1
+    t1x, t1y = ecc.ints_to_pts(t1)
+    t2x, t2y = ecc.ints_to_pts(t2)
+    # j = a + b*half: b = 0 -> t1 directly; b >= 1 -> batched add
+    px = jnp.broadcast_to(t1x[None], (rest - 1, half, 16)).reshape(-1, 16)
+    py = jnp.broadcast_to(t1y[None], (rest - 1, half, 16)).reshape(-1, 16)
+    qx = jnp.broadcast_to(t2x[:, None], (rest - 1, half, 16)).reshape(-1, 16)
+    qy = jnp.broadcast_to(t2y[:, None], (rest - 1, half, 16)).reshape(-1, 16)
     add = jax.jit(ecc.batch_add_or_dbl, static_argnames="lanes")
-    rows_x = [bx]   # rows_x[j-1] : (d, 16) = j * base
-    rows_y = [by]
-    m = 1
-    while m < n - 1:
-        take = min(m, n - 1 - m)
-        px = jnp.broadcast_to(rows_x[m - 1][None], (take, d, 16)).reshape(-1, 16)
-        py = jnp.broadcast_to(rows_y[m - 1][None], (take, d, 16)).reshape(-1, 16)
-        qx = jnp.stack(rows_x[:take], axis=0).reshape(-1, 16)
-        qy = jnp.stack(rows_y[:take], axis=0).reshape(-1, 16)
-        nx, ny = add(px, py, qx, qy, lanes=min(lanes, take * d))
-        nx = nx.reshape(take, d, 16)
-        ny = ny.reshape(take, d, 16)
-        for t in range(take):
-            rows_x.append(nx[t])
-            rows_y.append(ny[t])
-        m += take
+    sx, sy = add(px, py, qx, qy, lanes=min(lanes, (rest - 1) * half))
+    r0x = jnp.concatenate([t1x, sx], axis=0)[:n - 1]   # j = 1 .. n-1
+    r0y = jnp.concatenate([t1y, sy], axis=0)[:n - 1]
 
-    # flat layout: index = (n-1)*window + digit-1  -> stack as (n-1, d) then
-    # transpose to (d, n-1)
-    tx = jnp.stack(rows_x, axis=0).transpose(1, 0, 2).reshape(-1, 16)
-    ty = jnp.stack(rows_y, axis=0).transpose(1, 0, 2).reshape(-1, 16)
+    # --- 2. rows 1..d-1: scale by 2^w per row --------------------------
+    def scale_row(carry, _):
+        x, y, z = carry
+        for _ in range(w):
+            x, y, z = ecc.proj_dbl(x, y, z)
+        return (x, y, z), (x, y, z)
+
+    p0 = ecc.proj_from_affine(r0x, r0y)
+    _, (rx, ry, rz) = jax.jit(
+        lambda p: jax.lax.scan(scale_row, p, None, length=d - 1))(p0)
+
+    # --- 3. flatten + one chunked batch reduction ----------------------
+    one = jnp.broadcast_to(jnp.asarray(fe.ONE), r0x.shape)
+    allx = jnp.concatenate([r0x[None], rx], axis=0).reshape(-1, 16)
+    ally = jnp.concatenate([r0y[None], ry], axis=0).reshape(-1, 16)
+    allz = jnp.concatenate([one[None], rz], axis=0).reshape(-1, 16)
+    rdc = jax.jit(ecc.proj_to_affine, static_argnames="lanes")
+    tx, ty = rdc(allx, ally, allz, lanes=lanes)
     return jax.device_put(tx), jax.device_put(ty)
 
 
@@ -194,8 +225,7 @@ class MulSearch:
                 if j >= len(job):
                     continue  # padding lane
                 priv = job[int(j)]
-                pt = golden.point_mul(priv)
-                h = (golden.addr33(pt) if is33 else golden.addr65(pt)).hex()
+                h = common.derive_h160(priv, is33)
                 if not self.filt.confirm(bytes.fromhex(h)):
                     continue
                 f = Found(label=label, h160=h, priv=priv)

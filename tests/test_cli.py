@@ -1,0 +1,136 @@
+"""CLI layer tests: arg parsing, blf-gen/blf-check subcommands, usage."""
+
+import io
+import sys
+
+import numpy as np
+import pytest
+
+from ecloop_tpu import bloom, cli, golden
+
+
+def run_cli(argv, stdin=""):
+    old_in, old_out = sys.stdin, sys.stdout
+    sys.stdin = io.StringIO(stdin)
+    sys.stdout = io.StringIO()
+    try:
+        rc = cli.main(["ecloop"] + argv)
+        return rc, sys.stdout.getvalue()
+    finally:
+        sys.stdin, sys.stdout = old_in, old_out
+
+
+def test_usage_and_version():
+    rc, out = run_cli([])
+    assert rc == 0 and "Usage:" in out and "blf-gen" in out
+    rc, out = run_cli(["-v"])
+    assert rc == 0 and out.startswith("ecloop-tpu v")
+
+
+def test_args_helpers():
+    a = cli.Args(["x", "add", "-t", "4", "-q", "-f", "file.txt"])
+    assert a.get_bool("-q") and not a.get_bool("-endo")
+    assert a.get_uint("-t", 1) == 4
+    assert a.get_str("-f") == "file.txt"
+    assert a.get_str("-o") is None
+
+
+def test_parse_range_errors():
+    with pytest.raises(SystemExit):
+        cli.parse_range(cli.Args(["x", "add", "-r", "8000"]))
+    with pytest.raises(SystemExit):
+        cli.parse_range(cli.Args(["x", "add", "-r", "1:ffff"]))  # start <= 2048
+    with pytest.raises(SystemExit):
+        cli.parse_range(cli.Args(["x", "add", "-r", "ffff:8000"]))
+    s, e = cli.parse_range(cli.Args(["x", "add", "-r", "8000:ffff"]))
+    assert (s, e) == (0x8000, 0xFFFF)
+    s, e = cli.parse_range(cli.Args(["x", "add"]))
+    assert s == cli.GROUP_INV_SIZE and e == golden.P
+
+
+def test_parse_offs_size():
+    from ecloop_tpu.search.rnd import Rng
+    rng = Rng("t")
+    offs, size = cli.parse_offs_size(
+        cli.Args(["x", "add"]), 0xFFFFFFFF, "add", rng)
+    assert (offs, size) == (0, 32)
+    offs, size = cli.parse_offs_size(
+        cli.Args(["x", "add", "-d", "128:32"]), 1 << 255, "add", rng)
+    assert size == 32 and offs <= 255
+    with pytest.raises(SystemExit):
+        cli.parse_offs_size(
+            cli.Args(["x", "add", "-d", "0:10"]), 1 << 63, "add", rng)
+    with pytest.raises(SystemExit):
+        cli.parse_offs_size(
+            cli.Args(["x", "add", "-d", "999:32"]), 1 << 63, "add", rng)
+
+
+def test_blf_gen_and_check_roundtrip(tmp_path):
+    h1 = "11" * 20
+    h2 = "22" * 20
+    path = str(tmp_path / "f.blf")
+    rc, out = run_cli(["blf-gen", "-n", "64", "-o", path],
+                      stdin=f"{h1}\n{h2}\n{h1}\n")
+    assert rc == 0
+    assert "added 2" in out and "1 duplicates" in out
+
+    rc, out = run_cli(["blf-check", "-f", path, h1, h2])
+    assert rc == 0
+    assert out.count("FOUND") == 2
+
+    rc, out = run_cli(["blf-check", "-f", path, "33" * 20])
+    assert rc == 1
+    assert "NOT FOUND" in out
+
+    # incremental update of same-size filter (utils.c:430-445)
+    h3 = "44" * 20
+    rc, out = run_cli(["blf-gen", "-n", "64", "-o", path], stdin=f"{h3}\n")
+    assert rc == 0
+    blf = bloom.BloomFilter.load(path)
+    for h in (h1, h2, h3):
+        arr = np.array([int(h[i:i + 8], 16) for i in range(0, 40, 8)],
+                       dtype=np.uint32)
+        assert blf.has_many(arr[None])[0]
+
+
+def test_blf_gen_errors(tmp_path):
+    with pytest.raises(SystemExit):
+        run_cli(["blf-gen", "-o", str(tmp_path / "x.blf")])
+    with pytest.raises(SystemExit):
+        run_cli(["blf-gen", "-n", "64", "-o", str(tmp_path / "x.txt")])
+
+
+def test_status_line_formatting(capsys):
+    st = cli.Status(quiet=False, outfile=None, use_color=False)
+    st.k_checked = 2_000_000
+    st.finished = True
+    st._print_unlocked()
+    err = capsys.readouterr().err
+    assert "Mkeys/s" in err and "2,000,000" in err
+
+
+def test_found_output_file(tmp_path):
+    from ecloop_tpu.search.common import Found
+    out = tmp_path / "found.txt"
+    st = cli.Status(quiet=True, outfile=str(out), use_color=False)
+    f = Found(label="addr33", h160="ab" * 20, priv=0x1234)
+    st.write_found(f)
+    st.finish()
+    line = out.read_text().strip()
+    assert line == f"addr33\t{'ab' * 20}\t{0x1234:064x}"
+
+
+def test_to_hash_tool():
+    sys.path.insert(0, "tools")
+    try:
+        import to_hash
+    finally:
+        sys.path.pop(0)
+    # genesis address (public knowledge vector)
+    assert (to_hash.addr_to_hash160("1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa")
+            == "62e907b15cbf27d5425399ebf6f0fb50ebb88f18")
+    # bech32 vector: bc1qw508d6qejxtdg4y5r3zarvary0c5xw7kv8f3t4 (BIP-173)
+    assert (to_hash.addr_to_hash160(
+        "bc1qw508d6qejxtdg4y5r3zarvary0c5xw7kv8f3t4")
+        == "751e76e8199196d454941c45d1b3a323f1433bd6")
+    assert to_hash.addr_to_hash160("notanaddress") is None

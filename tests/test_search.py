@@ -1,0 +1,210 @@
+"""End-to-end search engine tests on tiny device geometry.
+
+These are the TPU counterparts of the reference's golden make-target
+vectors (SURVEY.md §4): plant keys in a small range / key list, run the
+full device pipeline (points -> hash160 -> filter probe -> host verify),
+and require the exact found set.
+"""
+
+import numpy as np
+import pytest
+
+from ecloop_tpu import bloom, filters, golden
+from ecloop_tpu.search import common
+from ecloop_tpu.search.add import AddSearch
+from ecloop_tpu.search.common import SearchConfig
+from ecloop_tpu.search.mul import MulSearch, parse_keys
+from ecloop_tpu.search.rnd import RndSearch, Rng, encode_seed, gen_random_range
+
+TINY = dict(centers=4, group_k=64, lanes=64)
+
+
+def _h160s(keys, compressed=True):
+    out = []
+    for k in keys:
+        pt = golden.point_mul(k)
+        h = golden.addr33(pt) if compressed else golden.addr65(pt)
+        out.append(np.frombuffer(h, dtype=">u4").astype(np.uint32))
+    return np.stack(out)
+
+
+def _filter_for(keys, compressed=True):
+    return filters.filter_from_hashes(_h160s(keys, compressed))
+
+
+def test_add_finds_planted_keys():
+    targets = [0x10000 + 7, 0x10000 + 100, 0x103FF]
+    filt = _filter_for(targets)
+    cfg = SearchConfig(range_s=0x10000, range_e=0x10400,
+                       addr33=True, addr65=False, **TINY)
+    eng = AddSearch(cfg, filt, init="host")
+    found = eng.run_range()
+    assert sorted(f.priv for f in found) == sorted(targets)
+    assert all(f.label == "addr33" for f in found)
+    # counter parity: job = range size, coverage rounded to GROUP
+    assert eng.k_checked == 0x400
+
+
+def test_add_addr65_and_both():
+    targets = [0x20011, 0x20222]
+    filt65 = _filter_for(targets, compressed=False)
+    cfg = SearchConfig(range_s=0x20000, range_e=0x20400,
+                       addr33=True, addr65=True, **TINY)
+    eng = AddSearch(cfg, filt65, init="host")
+    found = eng.run_range()
+    # addr65 hashes planted: addr33 of same keys must NOT match
+    assert sorted(f.priv for f in found) == sorted(targets)
+    assert all(f.label == "addr65" for f in found)
+
+
+def test_add_endo_recovers_phi_mapped_keys():
+    # plant hash of key k; search the range that contains lambda-mapped
+    # pre-image: k = endo_priv(base_key, idx). With endo enabled, hashing
+    # (beta*x, y) of base_key's point must surface k.
+    base = 0x30042
+    mapped = golden.endo_priv(base, 2)        # lambda * base mod N
+    filt = _filter_for([mapped])
+    cfg = SearchConfig(range_s=0x30000, range_e=0x30400,
+                       addr33=True, addr65=False, endo=True, **TINY)
+    eng = AddSearch(cfg, filt, init="host")
+    found = eng.run_range()
+    assert mapped in [f.priv for f in found]
+    # counters scale 6x with endo (reference main.c:431)
+    assert eng.k_checked == 0x400 * 6
+
+
+def test_add_stride_walks_bit_plane():
+    # stride 2^16: keys base + i*65536 — a '-d 16:..' window walk.
+    # base must clear the degeneracy guard: > M*K*stride = 256 << 16.
+    stride_offs = 16
+    base = 0x2000000
+    targets = [base + (37 << 16), base + (200 << 16)]
+    filt = _filter_for(targets)
+    cfg = SearchConfig(range_s=base, range_e=base + (0x400 << 16),
+                       stride_offs=stride_offs, addr33=True, **TINY)
+    eng = AddSearch(cfg, filt, init="host")
+    found = eng.run_span(base, 0x400)
+    assert sorted(f.priv for f in found) == sorted(targets)
+
+
+def test_mul_finds_keys_both_addr_types():
+    keys = [3, 0xDEADBEEF, 0x123456789ABCDEF, golden.N - 5]
+    filt33 = _filter_for(keys, compressed=True)
+    cfg = SearchConfig(addr33=True, addr65=False, **TINY)
+    eng = MulSearch(cfg, filt33, w=8, batch=32, init="host")
+    found = eng.run_keys(keys + [0x999, 0x777])
+    assert sorted(f.priv for f in found) == sorted(keys)
+
+    filt65 = _filter_for(keys, compressed=False)
+    cfg = SearchConfig(addr33=False, addr65=True, **TINY)
+    eng = MulSearch(cfg, filt65, w=8, batch=32, init="host")
+    found = eng.run_keys(keys)
+    assert sorted(f.priv for f in found) == sorted(keys)
+    assert all(f.label == "addr65" for f in found)
+
+
+def test_mul_raw_mode_sha256_keying():
+    # -raw: private key = SHA-256(line) (reference main.c:506-527)
+    lines = ["hello", "bitcoin is worth it", "x"]
+    keys = parse_keys(lines, raw=True)
+    import hashlib
+    assert keys[0] == int.from_bytes(
+        hashlib.sha256(b"hello").digest(), "big")
+    filt = _filter_for([k % golden.N for k in keys])
+    cfg = SearchConfig(addr33=True, **TINY)
+    eng = MulSearch(cfg, filt, w=8, batch=32, raw=True, init="host")
+    found = eng.run_lines(lines)
+    assert len(found) == 3
+
+
+def test_mul_bloom_only_filter(tmp_path):
+    keys = [11111, 22222]
+    blf = bloom.BloomFilter.for_count(16)
+    blf.add_many(_h160s(keys))
+    path = str(tmp_path / "t.blf")
+    blf.save(path)
+    filt = filters.load_filter(path)
+    assert filt.mode == "bloom"
+    cfg = SearchConfig(addr33=True, **TINY)
+    eng = MulSearch(cfg, filt, w=8, batch=32, init="host")
+    found = eng.run_keys(keys + [333])
+    assert sorted(f.priv for f in found) == sorted(keys)
+
+
+def test_rnd_seeded_deterministic_and_finds():
+    rng1, rng2 = Rng("test-seed"), Rng("test-seed")
+    assert [rng1.rand64() for _ in range(5)] == [rng2.rand64() for _ in range(5)]
+    assert encode_seed("hello") == encode_seed("hello")
+    lo, hi = gen_random_range(Rng("s"), 0x50000, 0x5FFFF, 0, 20)
+    assert 0x50000 <= lo <= hi <= 0x5FFFF
+
+    # window covers the whole range -> single full pass, must find target
+    target = 0x51234
+    filt = _filter_for([target])
+    cfg = SearchConfig(range_s=0x50000, range_e=0x50000 + (1 << 20),
+                       addr33=True, **TINY)
+    eng = RndSearch(cfg, filt, seed="abc", offs=0, size=20)
+    found = eng.run(max_iters=4)
+    assert target in [f.priv for f in found]
+
+
+def test_brainwallet_vector_subset():
+    """Golden cross-check against the reference data fixtures: first 32
+    brainwallet keys hash into the btc-bw-hash target set (the full
+    1080-key vector runs in integration/Make)."""
+    from pathlib import Path
+    data = Path(__file__).resolve().parent.parent / "data"
+    privs = [int(ln, 16) for ln in
+             (data / "btc-bw-priv").read_text().splitlines()
+             if ln.strip()][:32]
+    filt = filters.load_filter(str(data / "btc-bw-hash"))
+    cfg = SearchConfig(addr33=True, addr65=True, **TINY)
+    eng = MulSearch(cfg, filt, w=8, batch=32, init="host")
+    found = eng.run_keys(privs)
+    # every key must be found twice: addr33 + addr65
+    assert len(found) == 64
+    assert sum(f.label == "addr33" for f in found) == 32
+    assert sum(f.label == "addr65" for f in found) == 32
+
+
+def test_sharded_parity_with_single_device():
+    """Chip-count independence of the found set (reference multi-host
+    consistency, SURVEY.md §4.4) over a virtual 8-device CPU mesh."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    from ecloop_tpu.parallel.mesh import ShardedAddSearch, make_mesh
+
+    targets = [0x60000 + 9, 0x60000 + 777, 0x603F0]
+    filt = _filter_for(targets)
+    cfg = SearchConfig(range_s=0x60000, range_e=0x60400,
+                       addr33=True, centers=8, group_k=32, lanes=32)
+
+    single = AddSearch(cfg, filt, init="host")
+    f1 = {(f.label, f.priv) for f in single.run_span(0x60000, 0x400)}
+
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = ShardedAddSearch(cfg, filt, mesh, init="host")
+    f2 = {(f.label, f.priv) for f in sharded.run_span(0x60000, 0x400)}
+    assert f1 == f2 == {("addr33", t) for t in targets}
+
+
+def test_claim_planning_parity():
+    """Claim arithmetic == reference cmd_add_worker (main.c:405-435)."""
+    claims = list(common.plan_claims(0x8000, 0x10000, 0x8000, 1))
+    assert [c.start for c in claims] == [0x8000]
+    assert claims[0].job == 0x8000
+    assert claims[0].coverage == 0x8000  # already GROUP-aligned
+
+    claims = list(common.plan_claims(0x8000, 0x9000, 0x1000, 1))
+    assert len(claims) == 1
+    assert claims[0].coverage == 2048 * -(-0x1000 // 2048)
+
+    # job derivation (main.c:440-442)
+    assert common.derive_job_size(0x8000, 0x10000) == 0x8000
+    assert common.derive_job_size(0, 1 << 40) == common.MAX_JOB_SIZE
+
+
+def test_verify_found_oracle_raises_on_bad_hash():
+    with pytest.raises(AssertionError):
+        common.verify_found(12345, "addr33", "00" * 20)

@@ -126,9 +126,12 @@ class BloomFilter:
 # --- device-side probe ----------------------------------------------------------
 
 def _probe_pairs(h):
-    """(..., 5) u32 jnp hash words -> list of 20 (hi, lo) u32 index pairs."""
-    a = [(h[..., 0], h[..., 1]), (h[..., 2], h[..., 3]), (h[..., 4], h[..., 0]),
-         (h[..., 1], h[..., 2]), (h[..., 3], h[..., 4])]
+    """Hash words ((..., 5) array or list of 5 rows) -> 20 (hi, lo) u32
+    index pairs."""
+    if not isinstance(h, (list, tuple)):
+        h = [h[..., i] for i in range(5)]
+    a = [(h[0], h[1]), (h[2], h[3]), (h[4], h[0]),
+         (h[1], h[2]), (h[3], h[4])]
     out = []
     for s in _SHIFTS:
         for i in range(5):
@@ -240,7 +243,7 @@ def probe_exact(h_words, bits_u32, nbits: int):
     return hit == 1
 
 
-def probe_pow2(h_words, bits_u32, log2_bits: int, nprobes: int = 8):
+def probe_pow2(h_words, bits_u32, log2_bits: int, nprobes: int = 2):
     """Fast prefilter probe: same index derivation, mod 2^log2_bits via mask.
     Used for hash-list mode where the exact check is the sorted list."""
     mask_lo = np.uint32((1 << min(log2_bits, 32)) - 1 if log2_bits < 32
@@ -260,7 +263,7 @@ def probe_pow2(h_words, bits_u32, log2_bits: int, nprobes: int = 8):
 
 
 def build_pow2(hashes: np.ndarray, log2_bits: int | None = None,
-               nprobes: int = 8) -> tuple[np.ndarray, int]:
+               nprobes: int = 2) -> tuple[np.ndarray, int]:
     """Host-build the power-of-two prefilter over target hashes.
     Returns (bits_u32, log2_bits)."""
     n = max(1, len(hashes))

@@ -307,6 +307,8 @@ def _search_config(args: Args, cmd: str):
     cfg.centers = int(os.environ.get("ECLOOP_CENTERS", cfg.centers))
     cfg.group_k = int(os.environ.get("ECLOOP_GROUP_K", cfg.group_k))
     cfg.lanes = int(os.environ.get("ECLOOP_LANES", cfg.lanes))
+    cfg.steps_per_call = int(os.environ.get("ECLOOP_STEPS_PER_CALL",
+                                            cfg.steps_per_call))
 
     status = Status(quiet, outfile,
                     use_color=sys.stdout.isatty())
@@ -443,13 +445,16 @@ def cmd_rnd(args: Args) -> int:
     _install_sigint(status, tty)
     tty.start()
 
-    def on_iter(i, lo, hi, got):
+    def on_range(lo, hi):
         print(format_range_mask(lo, eng.offs, eng.size, use_color))
         print(format_range_mask(hi, eng.offs, eng.size, use_color))
+
+    def on_iter(i, lo, hi, got):
         status.update(eng.engine.k_checked - status.k_checked)
 
     try:
-        eng.run(on_found=status.write_found, on_iter=on_iter)
+        eng.run(on_found=status.write_found, on_iter=on_iter,
+                on_range=on_range)
         status.finish()
     finally:
         tty.cleanup()
@@ -534,6 +539,18 @@ def main(argv: list[str] | None = None) -> int:
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+
+    # persistent executable cache (TPU only): search-step graphs are
+    # large and compiles are slow — repeat invocations of the same
+    # geometry must not pay the compile again.  Not used on CPU: cached
+    # XLA:CPU AOT executables intermittently segfault on reload (machine
+    # pseudo-feature mismatch).  Override dir with ECLOOP_CACHE_DIR,
+    # disable with ECLOOP_CACHE_DIR="".
+    cache = os.environ.get("ECLOOP_CACHE_DIR", "/tmp/ecloop_jax_cache")
+    if cache and plat != "cpu":
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     if cmd == "blf-gen":
         return cmd_blf_gen(args)

@@ -25,7 +25,80 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import fe, golden
+from . import fe, fel, golden
+
+
+# --- limb-first (rows) chord ops (production step path) ----------------------
+
+def affine_add_rows(px, py, qx, qy, inv_dx):
+    """Chord addition on fel row tuples with precomputed 1/(qx - px)."""
+    lam = fel.mul_mod(fel.sub_mod(qy, py), inv_dx)
+    rx = fel.sub_mod(fel.sub_mod(fel.sqr_mod(lam), px), qx)
+    ry = fel.sub_mod(fel.mul_mod(lam, fel.sub_mod(px, rx)), py)
+    return rx, ry
+
+
+def proj_dbl_rows(x1, y1, z1):
+    """Projective doubling on fel rows (a = 0 curve)."""
+    w = fel.mul_small(fel.sqr_mod(x1), 3)
+    s = fel.mul_mod(y1, z1)
+    b = fel.mul_mod(fel.mul_mod(x1, y1), s)
+    h = fel.sub_mod(fel.sqr_mod(w), fel.mul_small(b, 8))
+    x3 = fel.mul_mod(fel.mul_small(h, 2), s)
+    y3 = fel.sub_mod(
+        fel.mul_mod(w, fel.sub_mod(fel.mul_small(b, 4), h)),
+        fel.mul_small(fel.sqr_mod(fel.mul_mod(y1, s)), 8))
+    z3 = fel.mul_small(fel.mul_mod(fel.sqr_mod(s), s), 8)
+    return x3, y3, z3
+
+
+def proj_add_affine_rows(x1, y1, z1, x2, y2):
+    """Mixed projective+affine addition on fel rows, complete via
+    selects (P = inf, P == Q, P == -Q all handled)."""
+    u1 = fel.mul_mod(y2, z1)
+    v1 = fel.mul_mod(x2, z1)
+    u = fel.sub_mod(u1, y1)
+    v = fel.sub_mod(v1, x1)
+
+    same_x = fel.is_zero(v)
+    same_y = fel.is_zero(u)
+    p_inf = fel.is_zero(z1)
+
+    vsq = fel.sqr_mod(v)
+    vcu = fel.mul_mod(vsq, v)
+    a = fel.sub_mod(
+        fel.sub_mod(fel.mul_mod(fel.sqr_mod(u), z1), vcu),
+        fel.mul_small(fel.mul_mod(vsq, x1), 2))
+    x3 = fel.mul_mod(v, a)
+    y3 = fel.sub_mod(
+        fel.mul_mod(u, fel.sub_mod(fel.mul_mod(vsq, x1), a)),
+        fel.mul_mod(vcu, y1))
+    z3 = fel.mul_mod(vcu, z1)
+
+    dx_, dy_, dz_ = proj_dbl_rows(x1, y1, z1)
+    is_dbl = same_x & same_y & ~p_inf
+    x3 = fel.select(is_dbl, dx_, x3)
+    y3 = fel.select(is_dbl, dy_, y3)
+    z3 = fel.select(is_dbl, dz_, z3)
+
+    one = fel.const_rows(1, x3[0].shape)
+    x3 = fel.select(p_inf, x2, x3)
+    y3 = fel.select(p_inf, y2, y3)
+    z3 = fel.select(p_inf, one, z3)
+    return x3, y3, z3
+
+
+def proj_to_affine_rows(x, y, z, lanes: int = 4096, use_pallas=None):
+    """Batch projective->affine on fel rows with one group inversion.
+    Infinity (z = 0) maps to (0, 0)."""
+    if use_pallas is None:
+        use_pallas = False
+    if use_pallas:
+        from . import pallas_kernels
+        zinv = pallas_kernels.inv_mod_batch_pallas(z)
+    else:
+        zinv = fel.inv_mod_batch(z, lanes=lanes)
+    return fel.mul_mod(x, zinv), fel.mul_mod(y, zinv)
 
 # generator as limb constants
 GX = fe.GX_LIMBS

@@ -18,11 +18,27 @@ inside Pallas kernels (they are pure jnp ops on uint32).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from . import golden
+
+
+def _unroll_default() -> bool:
+    """Unroll sequential loops (inversion chain / prefix scans) into the
+    traced graph.  Saves per-iteration while-loop latency on TPU (the
+    bodies are tiny relative to launch overhead); kept off on CPU where
+    giant fused blocks send LLVM compile time superlinear."""
+    v = os.environ.get("ECLOOP_FE_UNROLL")
+    if v is not None:
+        return v == "1"
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
 
 # --- constants ---------------------------------------------------------------
 
@@ -198,27 +214,71 @@ def _shift_limbs(x: jnp.ndarray, left: int, width: int) -> jnp.ndarray:
 def mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Full 256x256 -> 512-bit schoolbook product, (..., 32) normalized limbs.
 
-    Column accumulation in uint32: each column gathers <=16 lo-halves and
-    <=16 hi-halves of 16x16 products, all < 2^16, so max < 2^21 — no
-    intermediate carries needed (the carry-saved trick that replaces the
-    reference's u128/addc64 chains).
+    Column accumulation in uint32: column k sums <=16 lo-halves
+    (i+j == k) and <=16 hi-halves (i+j == k-1) of 16x16 products, all
+    < 2^16, so max < 2^21 — no intermediate carries needed (the
+    carry-saved trick that replaces the reference's u128/addc64 chains).
+    Diagonal gathering with static indices keeps the add count at ~2
+    per product instead of the padded-row formulation's ~4.
     """
     p = a[..., :, None] * b[..., None, :]   # (..., 16, 16) uint32 products
     lo = p & LIMB_MASK
     hi = p >> LIMB_BITS
-    w = 2 * NLIMBS
-    cols = jnp.zeros(a.shape[:-1] + (w,), dtype=_U32)
-    for i in range(NLIMBS):
-        cols = cols + _shift_limbs(lo[..., i, :], i, w)
-        cols = cols + _shift_limbs(hi[..., i, :], i + 1, w)
-    return normalize(cols)
+    if not _unroll_default():
+        # padded-row accumulation: fewer, wider HLO ops — much cheaper
+        # for XLA:CPU to compile (tests), slightly more vector adds
+        w = 2 * NLIMBS
+        cols = jnp.zeros(a.shape[:-1] + (w,), dtype=_U32)
+        for i in range(NLIMBS):
+            cols = cols + _shift_limbs(lo[..., i, :], i, w)
+            cols = cols + _shift_limbs(hi[..., i, :], i + 1, w)
+        return normalize(cols)
+    cols = []
+    zero = jnp.zeros(a.shape[:-1], dtype=_U32)
+    for k in range(2 * NLIMBS):
+        acc = None
+        for i in range(NLIMBS):
+            j = k - i
+            if 0 <= j < NLIMBS:
+                t = lo[..., i, j]
+                acc = t if acc is None else acc + t
+            j = k - 1 - i
+            if 0 <= j < NLIMBS:
+                t = hi[..., i, j]
+                acc = t if acc is None else acc + t
+        cols.append(zero if acc is None else acc)
+    return normalize(jnp.stack(cols, axis=-1))
 
 
 def sqr_wide(a: jnp.ndarray) -> jnp.ndarray:
-    """Squaring via mul_wide (dedicated half-product version is a later
-    optimization; the reference keeps a dedicated sqr for ~8% as well,
-    /root/reference/lib/ecc.c:349-444)."""
-    return mul_wide(a, a)
+    """Dedicated squaring: only the 136 upper-triangle products, with
+    off-diagonal terms doubled during column accumulation (same idea as
+    the reference's dedicated sqr, /root/reference/lib/ecc.c:349-444,
+    re-derived for the limb scheme).  Column bound: <=8 doubled pairs
+    (2^17 each) + diagonal + hi terms < 2^21: safe in uint32."""
+    if not _unroll_default():
+        return mul_wide(a, a)
+    prods = {}
+    for i in range(NLIMBS):
+        for j in range(i, NLIMBS):
+            prods[(i, j)] = a[..., i] * a[..., j]
+    cols = []
+    zero = jnp.zeros(a.shape[:-1], dtype=_U32)
+    for k in range(2 * NLIMBS):
+        acc = None
+
+        def add(t, acc=None):
+            return t if acc is None else acc + t
+
+        for i in range(NLIMBS):
+            for (jj, shift) in ((k - i, 0), (k - 1 - i, LIMB_BITS)):
+                if i <= jj < NLIMBS:
+                    p = prods[(i, jj)]
+                    half = (p >> shift) & LIMB_MASK
+                    acc = add(half if i == jj else half << 1, acc)
+        cols.append(zero if acc is None else acc)
+    # off-diagonal doubling makes columns < 2^22: still carry-safe
+    return normalize(jnp.stack(cols, axis=-1))
 
 
 def _fold_p(wide: jnp.ndarray) -> jnp.ndarray:
@@ -290,14 +350,30 @@ def inv_mod_p(a: jnp.ndarray) -> jnp.ndarray:
     sqr, mul = sqr_mod_p, mul_mod_p
 
     def sqrn(x, n):
-        # fori_loop keeps the traced graph small (one sqr body per call
-        # site instead of n unrolled bodies) — compile-time matters at
-        # ~120 jnp ops per modmul.
+        # TPU: unroll — the 255 sequential squarings are tiny kernels
+        # whose while-loop iteration latency dominates; unrolled they
+        # fuse.  CPU: fori_loop keeps the traced graph small (LLVM
+        # compile blows up on the fused block).
         if n <= 2:
             for _ in range(n):
                 x = sqr(x)
             return x
+        if _unroll_default():
+            # partial unroll: 8 squarings per while-loop iteration cuts
+            # the loop-latency 8x at ~8x body size (still compilable)
+            u = 8
+            for _ in range(n % u):
+                x = sqr(x)
+            if n // u:
+                x = jax.lax.fori_loop(
+                    0, n // u, lambda _, v: sqrn_u(v, u), x)
+            return x
         return jax.lax.fori_loop(0, n, lambda _, v: sqr(v), x)
+
+    def sqrn_u(x, u):
+        for _ in range(u):
+            x = sqr(x)
+        return x
 
     x1 = a                      # a^(2^1 - 1)
     x2 = mul(sqr(x1), x1)       # a^(2^2 - 1)
@@ -370,15 +446,23 @@ def inv_mod_p_batch(x: jnp.ndarray, lanes: int = 1024) -> jnp.ndarray:
     g = safe.reshape((-1, s, w, NLIMBS))
     gs = jnp.moveaxis(g, 1, 0)                # (s, batch, w, 16) scan axis first
 
+    unroll = min(s, 16) if _unroll_default() else 1
+
     # forward scan: prefixes[i] = g[0] * ... * g[i]
     def fwd(carry, gi):
         nxt = mul_mod_p(carry, gi)
         return nxt, nxt
 
-    total, rest = jax.lax.scan(fwd, gs[0], gs[1:])
+    total, rest = jax.lax.scan(fwd, gs[0], gs[1:], unroll=unroll)
     prefixes = jnp.concatenate([gs[:1], rest], axis=0)   # (s, batch, w, 16)
 
-    inv_total = inv_mod_p(total)
+    # two-level: at large widths, inverting the w block totals with the
+    # full Fermat chain costs 270*w muls; a second Montgomery level over
+    # the totals cuts the chain width 16x for 3 muls/total
+    if w >= 2048:
+        inv_total = inv_mod_p_batch(total, lanes=max(256, w // 16))
+    else:
+        inv_total = inv_mod_p(total)
 
     # backward scan: out[i] = inv(prefix[i]) * prefix[i-1]; acc walks down
     def bwd(acc, xs):
@@ -389,7 +473,8 @@ def inv_mod_p_batch(x: jnp.ndarray, lanes: int = 1024) -> jnp.ndarray:
 
     if s > 1:
         acc, outs_rev = jax.lax.scan(
-            bwd, inv_total, (gs[1:][::-1], prefixes[:-1][::-1]))
+            bwd, inv_total, (gs[1:][::-1], prefixes[:-1][::-1]),
+            unroll=unroll)
         inv = jnp.concatenate([acc[None], outs_rev[::-1]], axis=0)
     else:
         inv = inv_total[None]

@@ -1,0 +1,414 @@
+"""Limb-first 256-bit field arithmetic — the production TPU layout.
+
+`fe.py` carries field elements as (..., 16) arrays: the 16-limb axis
+lands on the TPU's 128-wide lane dimension, wasting 7/8 of the VPU and
+forcing stack/unstack copies between ops.  This module uses the
+**limb-first** representation: a field element batch is a tuple of 16
+uint32 arrays, each of shape (B,) (or any common batch shape), so every
+primitive op is a full-width vector op over the batch and XLA fuses
+entire formulas without layout kernels.  Measured on the target device:
+2.4x faster per modmul than the limb-last layout at B=64k
+(tools/exp_layout.py).
+
+Semantics are identical to fe.py (same 16x16-bit carry-saved schoolbook,
+same 0x1000003D1 folding — reference /root/reference/lib/ecc.c:267-444
+re-derived); fe.py remains the reference implementation for tests and
+host-side conversions.
+
+An element is `Fel = tuple[jnp.ndarray, ...]` (length 16, little-endian
+16-bit limbs in uint32).  All functions are pure and jit/shard_map safe.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import fe
+from .fe import LIMB_BITS, LIMB_MASK, NLIMBS, P
+
+_U32 = jnp.uint32
+M16 = np.uint32(LIMB_MASK)
+C977 = np.uint32(0x03D1)          # PCOMP = 2^32 + 0x3D1
+
+P_ROWS = [np.uint32(int(v)) for v in fe.P_LIMBS.tolist()]
+
+
+def _native_forms() -> bool:
+    """The fully-unrolled limb-row forms below are the TPU production
+    path.  On XLA:CPU their long scalar dependency chains (sequential
+    carry sweeps x hundreds of inlined modmuls per step graph) send the
+    LLVM pipeline's compile time superlinear — a single search-step
+    graph takes >15 min to compile on one core.  The CPU default
+    therefore routes the *heavy* ops (mul/sqr/inv) through fe's compact
+    padded/scan forms via a layout round-trip; semantics are bit
+    identical (both layers are tested against the same golden model).
+    Override with ECLOOP_FEL_NATIVE=0/1."""
+    import os
+    v = os.environ.get("ECLOOP_FEL_NATIVE")
+    if v is not None:
+        return v == "1"
+    return fe._unroll_default()
+
+
+@functools.lru_cache(maxsize=None)
+def _fe_rows_op(name: str, nin: int, static: tuple = ()):
+    """One-dispatch jitted wrapper for an fe op on row tuples.
+
+    The CPU engines run eagerly (no whole-step jit — see
+    search/add._use_jit), so each field op must be a SINGLE cached
+    dispatch: the wrapper takes nin*16 limb rows, stacks them to fe's
+    (..., 16) layout, applies fe.<name>, and unstacks — all inside one
+    jit boundary."""
+    f = getattr(fe, name)
+    kw = dict(static)
+
+    def wrapped(*rows):
+        args = [to_last(rows[i * NLIMBS:(i + 1) * NLIMBS])
+                for i in range(nin)]
+        out = f(*args, **kw)
+        return tuple(out[..., i] for i in range(NLIMBS))
+
+    return jax.jit(wrapped)
+
+
+# --- conversions ----------------------------------------------------------------
+
+def from_last(a: jnp.ndarray):
+    """(..., 16) -> tuple of 16 (...,) rows."""
+    return tuple(a[..., i] for i in range(NLIMBS))
+
+
+def to_last(rows) -> jnp.ndarray:
+    """tuple of 16 rows -> (..., 16)."""
+    return jnp.stack(rows, axis=-1)
+
+
+def const_rows(x: int, shape=None):
+    limbs = [np.uint32((x >> (16 * i)) & 0xFFFF) for i in range(NLIMBS)]
+    if shape is None:
+        return tuple(limbs)
+    return tuple(jnp.full(shape, v, dtype=_U32) for v in limbs)
+
+
+def zeros_like(a):
+    return tuple(jnp.zeros_like(a[0]) for _ in range(NLIMBS))
+
+
+# --- carry helpers ----------------------------------------------------------------
+
+def _carry_rows(cols, out_len=None):
+    """Sequential carry propagation over a list of u32 column rows
+    (each < 2^32) -> canonical 16-bit rows.  Fully vectorized over the
+    batch; the limb-axis loop is only trace-time."""
+    out = []
+    c = None
+    for v in cols:
+        v = v if c is None else v + c
+        out.append(v & M16)
+        c = v >> np.uint32(16)
+    if out_len is not None:
+        while len(out) < out_len:
+            out.append(c & M16)
+            c = c >> np.uint32(16)
+        out = out[:out_len]
+    return out, c
+
+
+def _add_raw(a, b):
+    out = []
+    c = None
+    for x, y in zip(a, b):
+        v = x + y if c is None else x + y + c
+        out.append(v & M16)
+        c = v >> np.uint32(16)
+    return out, c
+
+
+def _sub_raw(a, b):
+    """a - b; returns (diff rows, borrow row in {0,1})."""
+    out = []
+    brw = None
+    for x, y in zip(a, b):
+        yb = y if brw is None else y + brw
+        v = x - yb
+        out.append(v & M16)
+        brw = (x < yb).astype(_U32)
+    return out, brw
+
+
+def _sub_const(a, m):
+    """a - m for constant limb list m; returns (diff, borrow)."""
+    out = []
+    brw = None
+    for x, y in zip(a, m):
+        yb = y if brw is None else y + brw
+        v = x - yb
+        out.append(v & M16)
+        brw = (x < yb).astype(_U32)
+    return out, brw
+
+
+def select(cond, a, b):
+    """where(cond, a, b) rowwise; cond shaped like a row."""
+    return tuple(jnp.where(cond, x, y) for x, y in zip(a, b))
+
+
+def is_zero(a):
+    acc = a[0]
+    for r in a[1:]:
+        acc = acc | r
+    return acc == 0
+
+
+def eq(a, b):
+    acc = a[0] ^ b[0]
+    for x, y in zip(a[1:], b[1:]):
+        acc = acc | (x ^ y)
+    return acc == 0
+
+
+# --- mod-p add/sub/neg -------------------------------------------------------------
+
+def add_mod(a, b):
+    if not _native_forms():
+        return _fe_rows_op("add_mod", 2)(*a, *b)
+    s, carry = _add_raw(a, b)
+    d, borrow = _sub_const(s, P_ROWS)
+    take_d = (carry == 1) | (borrow == 0)
+    return tuple(jnp.where(take_d, x, y) for x, y in zip(d, s))
+
+
+def sub_mod(a, b):
+    if not _native_forms():
+        return _fe_rows_op("sub_mod", 2)(*a, *b)
+    d, borrow = _sub_raw(a, b)
+    p_plus, _ = _add_raw(d, const_rows(P))
+    return tuple(jnp.where(borrow == 0, x, y) for x, y in zip(d, p_plus))
+
+
+def neg_mod(a):
+    """p - a (a < p); maps 0 -> 0."""
+    if not _native_forms():
+        return _fe_rows_op("neg_mod", 1)(*a)
+    out = []
+    brw = None
+    for pv, y in zip(P_ROWS, a):
+        yb = y if brw is None else y + brw
+        v = pv - yb
+        out.append(v & M16)
+        brw = (pv < yb).astype(_U32)
+    z = is_zero(a)
+    return tuple(jnp.where(z, x, y) for x, y in zip(a, out))
+
+
+# --- mod-p multiply ----------------------------------------------------------------
+
+def _mul_wide_cols(a, b):
+    """Schoolbook 16x16 -> 32 u32 column rows (carry-saved, < 2^21)."""
+    cols = [None] * (2 * NLIMBS)
+
+    def acc(k, t):
+        cols[k] = t if cols[k] is None else cols[k] + t
+
+    for i in range(NLIMBS):
+        ai = a[i]
+        for j in range(NLIMBS):
+            p = ai * b[j]
+            acc(i + j, p & M16)
+            acc(i + j + 1, p >> np.uint32(16))
+    return cols
+
+
+def _sqr_wide_cols(a):
+    """Dedicated squaring: 136 products, off-diagonal doubled."""
+    cols = [None] * (2 * NLIMBS)
+
+    def acc(k, t):
+        cols[k] = t if cols[k] is None else cols[k] + t
+
+    for i in range(NLIMBS):
+        for j in range(i, NLIMBS):
+            p = a[i] * a[j]
+            lo = p & M16
+            hi = p >> np.uint32(16)
+            if i != j:
+                lo = lo << 1
+                hi = hi << 1
+            acc(i + j, lo)
+            acc(i + j + 1, hi)
+    return cols
+
+
+def _fold_p(cols):
+    """Reduce 32 u32 column rows mod p via PCOMP folding; result fully
+    reduced (< p).  Bounds per fold are tracked in the comments."""
+    w, _ = _carry_rows(cols)                     # 32 canonical rows, exact
+    lo, hi = w[:NLIMBS], w[NLIMBS:]
+    # X = lo + hi * (2^32 + 0x3D1) < 2^290
+    cols2 = [None] * (NLIMBS + 2)
+
+    def acc(k, t):
+        cols2[k] = t if cols2[k] is None else cols2[k] + t
+
+    for i in range(NLIMBS):
+        acc(i, lo[i] + hi[i] * C977)             # <= 2^16 + 2^26: safe
+        acc(i + 2, hi[i])
+    r1, c1 = _carry_rows(cols2)                  # 18 rows + carry c1 <= 4
+    lo, hi = r1[:NLIMBS], list(r1[NLIMBS:]) + [c1]   # 3 hi rows, < 2^34
+    cols3 = list(lo)
+    for i in range(3):
+        cols3[i] = cols3[i] + hi[i] * C977
+        cols3[i + 2] = cols3[i + 2] + hi[i]
+    r2, c2 = _carry_rows(cols3)                  # 16 rows + carry c2 in {0,1}
+    # c2 * 2^256 === c2 * PCOMP; the result is then < 2^256 (no carry out)
+    cols4 = list(r2)
+    cols4[0] = cols4[0] + c2 * C977
+    cols4[2] = cols4[2] + c2
+    r3, _ = _carry_rows(cols4)
+    # r3 < 2^256 < 2p: one conditional subtract fully reduces
+    d, borrow = _sub_const(r3, P_ROWS)
+    return tuple(jnp.where(borrow == 0, x, y) for x, y in zip(d, r3))
+
+
+def mul_mod(a, b):
+    if not _native_forms():
+        return _fe_rows_op("mul_mod_p", 2)(*a, *b)
+    return _fold_p(_mul_wide_cols(a, b))
+
+
+def sqr_mod(a):
+    if not _native_forms():
+        return _fe_rows_op("sqr_mod_p", 1)(*a)
+    return _fold_p(_sqr_wide_cols(a))
+
+
+def mul_small(a, k: int):
+    """a * k mod p for a small constant k < 2^16."""
+    if not _native_forms():
+        return _fe_rows_op("mul_mod_p_small", 1, (("k", k),))(*a)
+    cols = [r * np.uint32(k) for r in a]
+    r, c = _carry_rows(cols)                     # 16 rows + carry c < 2^16
+    # c * 2^256 === c * PCOMP: limbs 0 (c*0x3D1) and 2 (c)
+    r[0] = r[0] + c * C977
+    r[2] = r[2] + c
+    r2, c2 = _carry_rows(r)                      # c2 in {0,1}
+    r2[0] = r2[0] + c2 * C977
+    r2[2] = r2[2] + c2
+    r3, _ = _carry_rows(r2)
+    d, borrow = _sub_const(r3, P_ROWS)
+    return tuple(jnp.where(borrow == 0, x, y) for x, y in zip(d, r3))
+
+
+# --- inversion ---------------------------------------------------------------------
+
+def inv_mod(a, unroll_chain: int | None = None):
+    """Batched Fermat a^(p-2): same addition chain as fe.inv_mod_p."""
+    if not _native_forms():
+        return _fe_rows_op("inv_mod_p", 1)(*a)
+    if unroll_chain is None:
+        unroll_chain = 8 if fe._unroll_default() else 1
+    sqr, mul = sqr_mod, mul_mod
+
+    def sqrn(x, n):
+        if n <= 2:
+            for _ in range(n):
+                x = sqr(x)
+            return x
+        u = unroll_chain
+        for _ in range(n % u):
+            x = sqr(x)
+        if n // u:
+            def body(_, v):
+                for _ in range(u):
+                    v = sqr(v)
+                return v
+            x = jax.lax.fori_loop(0, n // u, body, x)
+        return x
+
+    x1 = a
+    x2 = mul(sqr(x1), x1)
+    x3 = mul(sqr(x2), x1)
+    x6 = mul(sqrn(x3, 3), x3)
+    x9 = mul(sqrn(x6, 3), x3)
+    x11 = mul(sqrn(x9, 2), x2)
+    x22 = mul(sqrn(x11, 11), x11)
+    x44 = mul(sqrn(x22, 22), x22)
+    x88 = mul(sqrn(x44, 44), x44)
+    x176 = mul(sqrn(x88, 88), x88)
+    x220 = mul(sqrn(x176, 44), x44)
+    x223 = mul(sqrn(x220, 3), x3)
+    t = mul(sqrn(x223, 23), x22)
+    t = mul(sqrn(t, 5), x1)
+    t = mul(sqrn(t, 3), x2)
+    t = mul(sqrn(t, 2), x1)
+    return t
+
+
+def inv_mod_batch(x, lanes: int = 4096):
+    """Montgomery batch inversion over rows of shape (B,).
+
+    Blocked prefix-product: reshape each row (B,) -> (s, w), scan the s
+    axis wide, invert the w block totals (recursively two-level when w
+    is large), back-substitute.  Zero inputs map to zero outputs.
+    """
+    if not _native_forms():
+        return _fe_rows_op("inv_mod_p_batch", 1, (("lanes", lanes),))(*x)
+    b = int(x[0].shape[-1])
+    shape = x[0].shape
+    flat = tuple(r.reshape(-1, b) for r in x)
+
+    zmask = is_zero(flat)
+    one = const_rows(1, flat[0].shape)
+    safe = select(zmask, one, flat)
+
+    w = min(lanes, b)
+    while b % w:
+        w -= 1
+    s = b // w
+    g = tuple(r.reshape(-1, s, w) for r in safe)
+    gs = tuple(jnp.moveaxis(r, 1, 0) for r in g)     # (s, batch, w)
+
+    unroll = min(s, 16) if fe._unroll_default() else 1
+
+    def fwd(carry, gi):
+        nxt = mul_mod(carry, gi)
+        return nxt, nxt
+
+    g0 = tuple(r[0] for r in gs)
+    grest = tuple(r[1:] for r in gs)
+    if s > 1:
+        total, rest = jax.lax.scan(fwd, g0, grest, unroll=unroll)
+        prefixes = tuple(jnp.concatenate([r0[None], rr], axis=0)
+                         for r0, rr in zip(g0, rest))
+    else:
+        total = g0
+        prefixes = tuple(r0[None] for r0 in g0)
+
+    if w >= 2048:
+        inv_total = inv_mod_batch(total, lanes=max(256, w // 16))
+    else:
+        inv_total = inv_mod(total)
+
+    def bwd(acc, xs):
+        gi, prev_prefix = xs
+        out_i = mul_mod(acc, prev_prefix)
+        acc = mul_mod(acc, gi)
+        return acc, out_i
+
+    if s > 1:
+        grev = tuple(r[::-1] for r in grest)
+        prev = tuple(r[:-1][::-1] for r in prefixes)
+        acc, outs_rev = jax.lax.scan(bwd, inv_total, (grev, prev),
+                                     unroll=unroll)
+        inv = tuple(jnp.concatenate([a_[None], o[::-1]], axis=0)
+                    for a_, o in zip(acc, outs_rev))
+    else:
+        inv = tuple(r[None] for r in inv_total)
+
+    inv = tuple(jnp.moveaxis(r, 0, 1).reshape(-1, b) for r in inv)
+    inv = select(zmask, zeros_like(inv), inv)
+    return tuple(r.reshape(shape) for r in inv)

@@ -31,7 +31,9 @@ class Filter:
     blf: bloom.BloomFilter | None     # exact bloom (bloom mode)
     device_bits: np.ndarray           # u32 bit array for the device probe
     pow2_log2: int | None             # set in list mode
-    pow2_probes: int = 8
+    # TPU gathers are the probe's cost; 2 probes at ~0.25% fill give
+    # ~1e-5 false-positive/key — the host exact check absorbs those
+    pow2_probes: int = 2
 
     @property
     def count(self) -> int:

@@ -71,13 +71,20 @@ def sha256_compress(w16, state=None):
     """One SHA-256 compression: w16 is (..., 16) message words (big-endian
     semantics); returns (..., 8) updated state."""
     if state is None:
-        state = [jnp.broadcast_to(jnp.asarray(v), w16.shape[:-1]).astype(_U32)
-                 for v in SHA_IV]
+        st = None
     else:
-        state = [state[..., i] for i in range(8)]
+        st = [state[..., i] for i in range(8)]
+    out = sha256_compress_list([w16[..., i] for i in range(16)], st)
+    return jnp.stack(out, axis=-1)
 
-    # message schedule, unrolled (static)
-    w = [w16[..., i] for i in range(16)]
+
+def sha256_compress_list(w, state=None):
+    """List-of-word-rows form (limb-first pipeline): w is 16 u32 arrays,
+    state 8 arrays or None; returns list of 8 state arrays."""
+    if state is None:
+        state = [jnp.broadcast_to(jnp.asarray(v), w[0].shape).astype(_U32)
+                 for v in SHA_IV]
+    w = list(w)
     for i in range(16, 64):
         s0 = _rotr(w[i - 15], 7) ^ _rotr(w[i - 15], 18) ^ (w[i - 15] >> 3)
         s1 = _rotr(w[i - 2], 17) ^ _rotr(w[i - 2], 19) ^ (w[i - 2] >> 10)
@@ -118,8 +125,7 @@ def sha256_compress(w16, state=None):
         (a2, b2, c2, d2, e2, f2, g2, h2), _ = jax.lax.scan(
             round_fn, (a, b, c, d, e, f, g, h), (ws, ks))
 
-    out = [a + a2, b + b2, c + c2, d + d2, e + e2, f + f2, g + g2, h + h2]
-    return jnp.stack(out, axis=-1)
+    return [a + a2, b + b2, c + c2, d + d2, e + e2, f + f2, g + g2, h + h2]
 
 
 # --- RIPEMD-160 -----------------------------------------------------------------
@@ -179,7 +185,13 @@ def _rmd_group_f(g: int, x, y, z):
 def rmd160_compress(w16):
     """One RIPEMD-160 compression of (..., 16) little-endian message words.
     Returns (..., 5) state words (little-endian semantics)."""
-    h = [jnp.broadcast_to(jnp.asarray(v), w16.shape[:-1]).astype(_U32)
+    out = rmd160_compress_list([w16[..., i] for i in range(16)])
+    return jnp.stack(out, axis=-1)
+
+
+def rmd160_compress_list(w):
+    """List-of-word-rows form: w is 16 u32 arrays; returns 5 state arrays."""
+    h = [jnp.broadcast_to(jnp.asarray(v), w[0].shape).astype(_U32)
          for v in RMD_IV]
     al, bl, cl, dl, el = h
     ar, br, cr, dr, er = h
@@ -188,7 +200,7 @@ def rmd160_compress(w16):
         # fully unrolled 80 rounds x 2 lanes (see sha256_compress note):
         # static message-word selection and static rotation amounts let
         # the TPU compiler fuse the whole compression.
-        x = [w16[..., i] for i in range(16)]
+        x = list(w)
         for i in range(80):
             g = i // 16
             t = (al + _rmd_group_f(g, bl, cl, dl) + x[_R1[i]]
@@ -203,10 +215,8 @@ def rmd160_compress(w16):
         # scan per 16-round group with dynamic-amount rotations
         for g in range(5):
             sl = slice(16 * g, 16 * g + 16)
-            xs_l = jnp.moveaxis(
-                jnp.take(w16, jnp.asarray(_R1[sl]), axis=-1), -1, 0)
-            xs_r = jnp.moveaxis(
-                jnp.take(w16, jnp.asarray(_R2[sl]), axis=-1), -1, 0)
+            xs_l = jnp.stack([w[i] for i in _R1[sl]], axis=0)
+            xs_r = jnp.stack([w[i] for i in _R2[sl]], axis=0)
             ss_l = jnp.asarray(_S1[sl], dtype=np.uint32)
             ss_r = jnp.asarray(_S2[sl], dtype=np.uint32)
             k_l = np.uint32(_K1[g])
@@ -227,9 +237,8 @@ def rmd160_compress(w16):
                 grp, (al, bl, cl, dl, el, ar, br, cr, dr, er),
                 (xs_l, xs_r, ss_l, ss_r))
 
-    out = [h[1] + cl + dr, h[2] + dl + er, h[3] + el + ar,
-           h[4] + al + br, h[0] + bl + cr]
-    return jnp.stack(out, axis=-1)
+    return [h[1] + cl + dr, h[2] + dl + er, h[3] + el + ar,
+            h[4] + al + br, h[0] + bl + cr]
 
 
 def byteswap32(x):
@@ -315,6 +324,72 @@ def addr65_hash(x_limbs, y_limbs):
     st = sha256_compress(b1)
     st = sha256_compress(b2, state=st)
     return hash160_from_sha(st)
+
+
+# --- limb-first (rows) pipeline ---------------------------------------------------
+# Counterparts of msg33/msg65/addr*_hash for the production layout: a
+# point is a tuple of 16 uint32 limb rows (fel.py); hash160 output is a
+# list of 5 u32 word rows in big-endian print order.  No (..., K)-minor
+# arrays ever materialize, so every op runs at full VPU lane width.
+
+def rows_to_be_words(rows):
+    """16 LE 16-bit limb rows -> 8 big-endian u32 word rows."""
+    return [(rows[15 - 2 * i] << 16) | rows[14 - 2 * i] for i in range(8)]
+
+
+def msg33_rows(x_rows, y_rows):
+    xw = rows_to_be_words(x_rows)
+    prefix = (np.uint32(2) | (y_rows[0] & 1)) << 24
+    ws = [prefix | (xw[0] >> 8)]
+    for i in range(1, 8):
+        ws.append((xw[i - 1] << 24) | (xw[i] >> 8))
+    ws.append((xw[7] << 24) | np.uint32(0x00800000))
+    zero = jnp.zeros_like(ws[0])
+    ws += [zero] * 6
+    ws.append(jnp.full_like(ws[0], np.uint32(264)))
+    return ws
+
+
+def msg65_rows(x_rows, y_rows):
+    xw = rows_to_be_words(x_rows)
+    yw = rows_to_be_words(y_rows)
+    ws = [np.uint32(0x04 << 24) | (xw[0] >> 8)]
+    for i in range(1, 8):
+        ws.append((xw[i - 1] << 24) | (xw[i] >> 8))
+    ws.append((xw[7] << 24) | (yw[0] >> 8))
+    for i in range(1, 8):
+        ws.append((yw[i - 1] << 24) | (yw[i] >> 8))
+    blk1 = ws
+    w16 = (yw[7] << 24) | np.uint32(0x00800000)
+    zero = jnp.zeros_like(w16)
+    blk2 = [w16] + [zero] * 14 + [jnp.full_like(w16, np.uint32(520))]
+    return blk1, blk2
+
+
+def _sha_rows_to_rmd_msg(st):
+    le = [byteswap32(s) for s in st]
+    zero = jnp.zeros_like(le[0])
+    return le + [jnp.full_like(le[0], np.uint32(0x80)),
+                 zero, zero, zero, zero, zero,
+                 jnp.full_like(le[0], np.uint32(256)), zero]
+
+
+def hash160_rows_from_sha(st):
+    rmd = rmd160_compress_list(_sha_rows_to_rmd_msg(st))
+    return [byteswap32(v) for v in rmd]
+
+
+def addr33_hash_rows(x_rows, y_rows):
+    """hash160 of compressed pubkeys from limb rows -> 5 u32 word rows."""
+    return hash160_rows_from_sha(sha256_compress_list(msg33_rows(
+        x_rows, y_rows)))
+
+
+def addr65_hash_rows(x_rows, y_rows):
+    b1, b2 = msg65_rows(x_rows, y_rows)
+    st = sha256_compress_list(b1)
+    st = sha256_compress_list(b2, st)
+    return hash160_rows_from_sha(st)
 
 
 # --- host helpers -----------------------------------------------------------------

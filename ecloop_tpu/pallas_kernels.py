@@ -1,0 +1,177 @@
+"""Pallas TPU kernels for the hot sequential path.
+
+The batch Montgomery inversion is the one inherently sequential part of
+the search step (SURVEY.md §7 'hard parts'): a blocked prefix product +
+one Fermat-chain inversion + back-substitution.  Under plain XLA each of
+the ~400 sequential small modmuls is its own kernel launch, and launch
+overhead dominates the whole step.  This kernel runs the ENTIRE batch
+inversion in one Pallas program: prefix scan, two-level block totals,
+the 270-step Fermat chain, and back-substitution all execute in VMEM
+with zero inter-iteration launch cost.
+
+Layout: a field element batch is 16 limb rows (fel.py).  In-kernel, a
+"row block" has shape (S, SUB, 128): S sequential scan steps over
+SUB*128 parallel chains, so every VPU op inside the scan runs on a full
+(SUB, 128) tile.  The kernel takes the 16 limb rows as 16 separate refs
+(no host-side restacking; the (B,) -> (S, SUB, 128) reshape is a free
+view).
+
+Grid: one program per SEGMENT of the batch; segments are independent
+(each does its own full inversion), which also keeps VMEM bounded.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import fe, fel
+
+NLIMBS = 16
+SUB = 8          # sublanes per row tile
+LANE = 128       # lanes per row tile
+W = SUB * LANE   # parallel chains per segment scan
+
+
+def _mul(a, b):
+    return fel.mul_mod(a, b)
+
+
+def _sqr(a):
+    return fel.sqr_mod(a)
+
+
+def _inv_chain(a):
+    """Fermat chain on small row tuples; fori_loop bodies stay tiny
+    (in-kernel loops have no launch overhead)."""
+    def sqrn(x, n):
+        if n <= 2:
+            for _ in range(n):
+                x = _sqr(x)
+            return x
+        return jax.lax.fori_loop(0, n, lambda _, v: _sqr(v), x)
+
+    x1 = a
+    x2 = _mul(_sqr(x1), x1)
+    x3 = _mul(_sqr(x2), x1)
+    x6 = _mul(sqrn(x3, 3), x3)
+    x9 = _mul(sqrn(x6, 3), x3)
+    x11 = _mul(sqrn(x9, 2), x2)
+    x22 = _mul(sqrn(x11, 11), x11)
+    x44 = _mul(sqrn(x22, 22), x22)
+    x88 = _mul(sqrn(x44, 44), x44)
+    x176 = _mul(sqrn(x88, 88), x88)
+    x220 = _mul(sqrn(x176, 44), x44)
+    x223 = _mul(sqrn(x220, 3), x3)
+    t = _mul(sqrn(x223, 23), x22)
+    t = _mul(sqrn(t, 5), x1)
+    t = _mul(sqrn(t, 3), x2)
+    t = _mul(sqrn(t, 2), x1)
+    return t
+
+
+def _inv_kernel(s_steps: int, *refs):
+    """refs: 16 input limb refs (S, SUB, LANE), 16 output limb refs,
+    1 prefix-scratch ref (S, 16, SUB, LANE)."""
+    g_refs = refs[:NLIMBS]
+    o_refs = refs[NLIMBS:2 * NLIMBS]
+    pfx = refs[2 * NLIMBS]
+
+    def load(i):
+        return tuple(r[i] for r in g_refs)
+
+    # ---- forward prefix scan ------------------------------------------------
+    cur = load(0)
+    for limb in range(NLIMBS):
+        pfx[0, limb] = cur[limb]
+
+    def fwd_body(i, cur):
+        cur = _mul(cur, load(i))
+        for limb in range(NLIMBS):
+            pfx[i, limb] = cur[limb]
+        return cur
+
+    cur = jax.lax.fori_loop(1, s_steps, fwd_body, cur)
+
+    # ---- invert the W block totals ------------------------------------------
+    # second-level prefix over the sublane axis: SUB chains of LANE
+    t = tuple(r[0:1] for r in cur)                    # (1, LANE)
+    t2 = [t]
+    for k in range(1, SUB):
+        t = _mul(t, tuple(r[k:k + 1] for r in cur))
+        t2.append(t)
+    tinv = _inv_chain(t)                              # (1, LANE) inverses
+    # back-substitute level 2: inv of each sublane row
+    inv_rows = [None] * SUB
+    acc = tinv
+    for k in range(SUB - 1, 0, -1):
+        inv_rows[k] = _mul(acc, t2[k - 1])
+        acc = _mul(acc, tuple(r[k:k + 1] for r in cur))
+    inv_rows[0] = acc
+    inv_tot = tuple(jnp.concatenate([inv_rows[k][limb] for k in range(SUB)],
+                                    axis=0)
+                    for limb in range(NLIMBS))        # (SUB, LANE)
+
+    # ---- backward substitution ----------------------------------------------
+    def bwd_body(j, acc):
+        i = s_steps - 1 - j
+        prev = tuple(pfx[i - 1, limb] for limb in range(NLIMBS))
+        out_i = _mul(acc, prev)
+        for limb in range(NLIMBS):
+            o_refs[limb][i] = out_i[limb]
+        return _mul(acc, load(i))
+
+    acc = jax.lax.fori_loop(0, s_steps - 1, bwd_body, inv_tot)
+    for limb in range(NLIMBS):
+        o_refs[limb][0] = acc[limb]
+
+
+@functools.lru_cache(maxsize=8)
+def _build_inv(seg_elems: int, n_segs: int):
+    s_steps = seg_elems // W
+    kern = functools.partial(_inv_kernel, s_steps)
+    blk = (s_steps, SUB, LANE)
+    in_specs = [pl.BlockSpec(blk, lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM)] * NLIMBS
+    out_specs = [pl.BlockSpec(blk, lambda g: (g, 0, 0),
+                              memory_space=pltpu.VMEM)] * NLIMBS
+    shape = (n_segs * s_steps, SUB, LANE)
+    call = pl.pallas_call(
+        kern,
+        grid=(n_segs,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct(shape, jnp.uint32)] * NLIMBS,
+        scratch_shapes=[pltpu.VMEM((s_steps, NLIMBS, SUB, LANE),
+                                   jnp.uint32)],
+    )
+    return call
+
+
+def inv_mod_batch_pallas(x, seg_elems: int = 65536):
+    """Batched modular inversion of fel row tuples, shape (B,) each.
+
+    B must be a multiple of W (1024); the caller pads (the search step
+    already pads with ones).  Zero inputs map to zero outputs.
+    """
+    b = int(x[0].shape[-1])
+    assert b % W == 0, b
+    seg = min(seg_elems, b)
+    while b % seg:
+        seg -= W
+    n_segs = b // seg
+    s_steps = seg // W
+
+    zmask = fel.is_zero(x)
+    one = fel.const_rows(1, x[0].shape)
+    safe = fel.select(zmask, one, x)
+
+    shaped = [r.reshape(n_segs * s_steps, SUB, LANE) for r in safe]
+    out = _build_inv(seg, n_segs)(*shaped)
+    inv = tuple(r.reshape(b) for r in out)
+    return fel.select(zmask, fel.zeros_like(inv), inv)

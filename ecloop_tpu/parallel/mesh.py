@@ -26,7 +26,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:                                   # jax >= 0.8 (check_rep renamed)
+    from jax import shard_map as _new_shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=False):
+        return _new_shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=check_rep)
+except ImportError:                    # older jax
+    from jax.experimental.shard_map import shard_map
 
 from .. import fe, golden
 from ..filters import Filter
@@ -70,6 +78,11 @@ def sharded_step_builder(cfg: SearchConfig, filt: Filter, mesh: Mesh):
         in_specs=(P("rng"), P("rng"), P(), P(), P(), P(), P()),
         out_specs=(P("rng"), P("rng"), P(None, "rng"), P()),
         check_rep=False)
+    from ..search.add import _use_jit
+    if not _use_jit():
+        # eager shard_map: per-op dispatch under the mesh — no giant
+        # whole-step XLA:CPU compile (see add._use_jit)
+        return sharded
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
@@ -112,10 +125,21 @@ class ShardedAddSearch:
         cx, cy = self._shard_centers(cx, cy)
         found = []
         steps = -(-n_keys // mk)
-        for t in range(steps):
-            cx, cy, masks, _ = self.step_fn(cx, cy, self.tx, self.ty,
-                                            self.dpx, self.dpy, self.bits)
-            masks_np = np.asarray(masks)
+        if steps == 0:
+            return found
+        pending = None
+        for t0 in range(steps + 1):
+            if t0 < steps:
+                cx, cy, masks, _ = self.step_fn(cx, cy, self.tx, self.ty,
+                                                self.dpx, self.dpy,
+                                                self.bits)
+            # drain the previous step's masks while this one runs
+            if pending is None:
+                pending = (t0, masks)
+                continue
+            t, pmasks = pending
+            pending = (t0, masks) if t0 < steps else None
+            masks_np = np.asarray(pmasks)
             if masks_np.any():
                 for v, (e, is33) in enumerate(self.variants):
                     for j in np.nonzero(unpack_mask(masks_np[v]))[0]:

@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .. import ecc, fe, golden, hash160
+from .. import ecc, fe, fel, golden, hash160
 from ..filters import Filter
 from . import common
 from .common import Claim, Found, SearchConfig
@@ -51,10 +51,40 @@ def _variants(cfg: SearchConfig) -> list[tuple[int, bool]]:
 
 
 def _pack_mask(bits):
-    """(B,) bool -> (B//32,) u32, little-endian bit order."""
+    """bool bits (any shape, flat order preserved) -> (B//32,) u32,
+    little-endian bit order."""
     b = bits.reshape(-1, 32).astype(jnp.uint32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     return jnp.sum(b << shifts, axis=-1, dtype=jnp.uint32)
+
+
+def _use_jit() -> bool:
+    """Whole-step jit is the TPU production path.  XLA:CPU's compile
+    time on these graphs is pathological (>30 min per geometry on one
+    core), so on CPU the step runs eagerly — each jnp op compiles once
+    (seconds) and is cached by shape; at test shapes the dispatch
+    overhead is negligible.  Override with ECLOOP_JIT=0/1."""
+    import os
+    v = os.environ.get("ECLOOP_JIT")
+    if v is not None:
+        return v == "1"
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return True
+
+
+def _use_pallas() -> bool:
+    """Pallas kernels need the real TPU backend (Mosaic); CPU tests use
+    the XLA fallback.  Override with ECLOOP_PALLAS=0/1."""
+    import os
+    v = os.environ.get("ECLOOP_PALLAS")
+    if v is not None:
+        return v == "1"
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 def unpack_mask(words: np.ndarray) -> np.ndarray:
@@ -66,40 +96,87 @@ def make_step(cfg: SearchConfig, filt: Filter):
     (centers', masks).  masks: (V, M*K/32) u32 — one packed hit plane per
     candidate variant.  Exposed unjitted so parallel/mesh.py can wrap it
     in shard_map; single-device users take build_step_fn below.
+
+    The table holds only the POSITIVE multiples T[j] = (j+1)*s*G
+    (j < K/2); the mirror neighbors C - T[j] share T[j].x, so one
+    inverted dx serves the +- pair — the TPU form of the reference's
+    y-negated second gpoints half (main.c:237-243), halving the
+    group-inversion batch.
     """
     m_, k_ = cfg.centers, cfg.group_k
-    h = k_ // 2
-    is_center = np.zeros(k_, dtype=bool)
-    is_center[h] = True
+    k2 = k_ // 2
     variants = _variants(cfg)
-    beta1 = jnp.asarray(fe.BETA1_LIMBS)
-    beta2 = jnp.asarray(fe.BETA2_LIMBS)
+    use_pallas = _use_pallas()
+
+    def r3d(rows):
+        """rows -> (X, 8, 128) tiles (full sublane+lane utilization);
+        passthrough when the batch doesn't divide (tiny test shapes)."""
+        if rows[0].size % 1024:
+            return rows
+        return tuple(r.reshape(-1, 8, 128) for r in rows)
 
     def step(cx, cy, tx, ty, dpx, dpy, bits):
-        # --- batch affine chord: P[m,i] = C[m] + T[i], plus center advance
-        dx = fe.sub_mod(tx[None], cx[:, None])             # (M, K, 16)
-        dxc = fe.sub_mod(dpx, cx)                          # (M, 16) advance
-        inv_in = jnp.concatenate(
-            [dx.reshape(-1, 16), dxc.reshape(-1, 16)], axis=0)
-        pad = -inv_in.shape[0] % cfg.lanes
+        # limb-first throughout: tuples of 16 uint32 rows (fel.py)
+        cxr = fel.from_last(cx)                      # rows (M,)
+        cyr = fel.from_last(cy)
+        txr = fel.from_last(tx)                      # rows (K/2,)
+        tyr = fel.from_last(ty)
+        dpxr = fel.from_last(dpx)                    # rows ()
+        dpyr = fel.from_last(dpy)
+
+        cxb = tuple(r[:, None] for r in cxr)         # (M, 1)
+        cyb = tuple(r[:, None] for r in cyr)
+        txb = tuple(r[None, :] for r in txr)         # (1, K/2)
+        tyb = tuple(r[None, :] for r in tyr)
+
+        # --- batch affine chords: C[m] +- T[j], plus center advance
+        dx = fel.sub_mod(txb, cxb)                   # rows (M, K/2)
+        dxc = fel.sub_mod(tuple(jnp.broadcast_to(r, cxr[0].shape)
+                                for r in dpxr), cxr)  # rows (M,)
+        nh = m_ * k2
+        inv_in = tuple(jnp.concatenate([a.reshape(-1), b], axis=0)
+                       for a, b in zip(dx, dxc))
+        pad = -(nh + m_) % max(cfg.lanes, 1024)
         if pad:
-            inv_in = jnp.concatenate(
-                [inv_in, jnp.broadcast_to(jnp.asarray(fe.ONE), (pad, 16))],
-                axis=0)
-        inv = fe.inv_mod_p_batch(inv_in, lanes=cfg.lanes)
-        inv_dx = inv[:m_ * k_].reshape(m_, k_, 16)
-        inv_dxc = inv[m_ * k_:m_ * k_ + m_]
+            onep = fel.const_rows(1, (pad,))
+            inv_in = tuple(jnp.concatenate([a, o], axis=0)
+                           for a, o in zip(inv_in, onep))
+        if use_pallas:
+            from .. import pallas_kernels
+            inv = pallas_kernels.inv_mod_batch_pallas(inv_in)
+        else:
+            inv = fel.inv_mod_batch(inv_in, lanes=cfg.lanes)
+        idx = tuple(r[:nh].reshape(m_, k2) for r in inv)
+        inv_dxc = tuple(r[nh:nh + m_] for r in inv)
 
-        px, py = ecc.affine_add(cx[:, None], cy[:, None], tx[None], ty[None],
-                                inv_dx)
-        cmask = jnp.asarray(is_center)[None, :, None]
-        px = jnp.where(cmask, cx[:, None], px)
-        py = jnp.where(cmask, cy[:, None], py)
-        px = px.reshape(-1, 16)
-        py = py.reshape(-1, 16)
+        # chord math on (X, 8, 128) tiles
+        bshape = (m_, k2)
+        cxt = r3d(tuple(jnp.broadcast_to(r, bshape) for r in cxb))
+        cyt = r3d(tuple(jnp.broadcast_to(r, bshape) for r in cyb))
+        txt = r3d(tuple(jnp.broadcast_to(r, bshape) for r in txb))
+        tyt = r3d(tuple(jnp.broadcast_to(r, bshape) for r in tyb))
+        idxt = r3d(idx)
+        xp, yp = ecc.affine_add_rows(cxt, cyt, txt, tyt, idxt)
+        xm, ym = ecc.affine_add_rows(cxt, cyt, txt, fel.neg_mod(tyt), idxt)
+        xp = tuple(r.reshape(bshape) for r in xp)
+        yp = tuple(r.reshape(bshape) for r in yp)
+        xm = tuple(r.reshape(bshape) for r in xm)
+        ym = tuple(r.reshape(bshape) for r in ym)
 
-        ncx, ncy = ecc.affine_add(cx, cy, jnp.broadcast_to(dpx, cx.shape),
-                                  jnp.broadcast_to(dpy, cy.shape), inv_dxc)
+        # layout offsets 0..K-1, center at h = K/2:
+        #   [flip(minus: h-1..0), center, plus[:-1]: h+1..K-1]
+        px = r3d(tuple(jnp.concatenate(
+            [jnp.flip(a, axis=1), c, b[:, :k2 - 1]], axis=1).reshape(-1)
+            for a, c, b in zip(xm, cxb, xp)))
+        py = r3d(tuple(jnp.concatenate(
+            [jnp.flip(a, axis=1), c, b[:, :k2 - 1]], axis=1).reshape(-1)
+            for a, c, b in zip(ym, cyb, yp)))
+
+        ncxr, ncyr = ecc.affine_add_rows(
+            cxr, cyr,
+            tuple(jnp.broadcast_to(r, cxr[0].shape) for r in dpxr),
+            tuple(jnp.broadcast_to(r, cyr[0].shape) for r in dpyr),
+            inv_dxc)
 
         # --- endo point synthesis (x, bx, b2x) x (y, -y) as needed
         xs = {0: px}
@@ -107,10 +184,10 @@ def make_step(cfg: SearchConfig, filt: Filter):
         need_beta = any(e in (2, 3, 4, 5) for e, _ in variants)
         need_neg = any(e in (1, 3, 5) for e, _ in variants)
         if need_beta:
-            xs[1] = fe.mul_mod_p(px, jnp.broadcast_to(beta1, px.shape))
-            xs[2] = fe.mul_mod_p(px, jnp.broadcast_to(beta2, px.shape))
+            xs[1] = fel.mul_mod(px, fel.const_rows(golden.BETA1))
+            xs[2] = fel.mul_mod(px, fel.const_rows(golden.BETA2))
         if need_neg:
-            ys[1] = fe.neg_mod(py)
+            ys[1] = fel.neg_mod(py)
         # endo idx -> (x variant, y variant): see golden.endo_points
         emap = {0: (0, 0), 1: (0, 1), 2: (1, 0), 3: (1, 1), 4: (2, 0),
                 5: (2, 1)}
@@ -118,17 +195,45 @@ def make_step(cfg: SearchConfig, filt: Filter):
         masks = []
         for e, is33 in variants:
             xv, yv = emap[e]
-            hw = (hash160.addr33_hash if is33 else hash160.addr65_hash)(
-                xs[xv], ys[yv])
+            hw = (hash160.addr33_hash_rows if is33
+                  else hash160.addr65_hash_rows)(xs[xv], ys[yv])
             hit = filt.device_probe(hw)
             masks.append(_pack_mask(hit))
-        return ncx, ncy, jnp.stack(masks, axis=0)
+        return fel.to_last(ncxr), fel.to_last(ncyr), jnp.stack(masks, axis=0)
 
     return step
 
 
 def build_step_fn(cfg: SearchConfig, filt: Filter):
-    return jax.jit(make_step(cfg, filt), donate_argnums=(0, 1))
+    """Jitted step; with cfg.steps_per_call > 1, T steps run inside one
+    dispatch via lax.scan and masks return stacked (T, V, M*K/32)."""
+    raw = make_step(cfg, filt)
+    t_ = cfg.steps_per_call
+    if not _use_jit():
+        if t_ <= 1:
+            return raw
+
+        def multi_eager(cx, cy, tx, ty, dpx, dpy, bits):
+            masks = []
+            for _ in range(t_):
+                cx, cy, m = raw(cx, cy, tx, ty, dpx, dpy, bits)
+                masks.append(m)
+            return cx, cy, jnp.stack(masks, axis=0)
+
+        return multi_eager
+    if t_ <= 1:
+        return jax.jit(raw, donate_argnums=(0, 1))
+
+    def multi(cx, cy, tx, ty, dpx, dpy, bits):
+        def body(carry, _):
+            cx, cy = carry
+            ncx, ncy, masks = raw(cx, cy, tx, ty, dpx, dpy, bits)
+            return (ncx, ncy), masks
+
+        (cx, cy), masks = jax.lax.scan(body, (cx, cy), None, length=t_)
+        return cx, cy, masks
+
+    return jax.jit(multi, donate_argnums=(0, 1))
 
 
 def points_from_scalars(scalars: list[int], how: str = "auto"):
@@ -149,21 +254,21 @@ def points_from_scalars(scalars: list[int], how: str = "auto"):
 
 @functools.lru_cache(maxsize=8)
 def _cached_table(stride: int, k: int, mk: int, how: str = "auto"):
-    """Device gpoints table T[i] = (i - K/2)*stride*G and advance point
-    D = M*K*stride*G (counterpart of ctx_precompute_gpoints,
-    main.c:219-246, built host-side with an incremental add chain like
-    the reference; i == K/2 is the infinity slot, stored as (0, 0))."""
-    h = k // 2
+    """Positive-half gpoints table T[j] = (j+1)*stride*G (j < K/2) and
+    advance point D = M*K*stride*G (counterpart of
+    ctx_precompute_gpoints, main.c:219-246, built host-side with an
+    incremental add chain like the reference; the negative half is
+    synthesized on device by y-negation)."""
     step = golden.point_mul(stride)
-    p = golden.point_mul((-h * stride) % N)
+    p = step
     pts = []
-    for _ in range(k):
-        pts.append(p if p is not None else (0, 0))
+    for _ in range(k // 2):
+        pts.append(p)
         p = golden.point_add(p, step)
     pts.append(golden.point_mul((mk * stride) % N))
     ax = jnp.asarray(fe.ints_to_limbs([q[0] for q in pts]))
     ay = jnp.asarray(fe.ints_to_limbs([q[1] for q in pts]))
-    return ax[:k], ay[:k], ax[k], ay[k]
+    return ax[:-1], ay[:-1], ax[-1], ay[-1]
 
 
 class AddSearch:
@@ -233,21 +338,45 @@ class AddSearch:
         """
         cfg = self.cfg
         mk = cfg.keys_per_step
-        self._check_no_degenerate(base, -(-n_keys // mk) * mk)
+        t_ = max(1, cfg.steps_per_call)
+        calls = -(-(-(-n_keys // mk)) // t_)
+        self._check_no_degenerate(base, calls * t_ * mk)
         cx, cy = self._init_centers(base)
         found = []
-        steps = -(-n_keys // mk)
-        for t in range(steps):
+        pending = None          # (first step idx, device masks) unfetched
+        for c in range(calls):
             cx, cy, masks = self.step_fn(cx, cy, self.tx, self.ty,
                                          self.dpx, self.dpy, self.bits)
-            masks_np = np.asarray(masks)
-            if masks_np.any():
-                found.extend(self._handle_hits(
-                    base, t * mk, n_keys, masks_np, hit_offsets_valid,
-                    on_found))
+            # fetch the PREVIOUS call's masks while this one runs on
+            # device (host<->device pipelining; async dispatch gives the
+            # overlap the reference gets from its worker queue)
+            if pending is not None:
+                found.extend(self._drain(pending, base, n_keys,
+                                         hit_offsets_valid, on_found,
+                                         on_step))
+            pending = (c * t_, masks)
+        if pending is not None:
+            found.extend(self._drain(pending, base, n_keys,
+                                     hit_offsets_valid, on_found, on_step))
+        return found
+
+    def _drain(self, pending, base, n_keys, hit_offsets_valid, on_found,
+               on_step):
+        t0, masks = pending
+        mk = self.cfg.keys_per_step
+        masks_np = np.asarray(masks)
+        if masks_np.ndim == 2:                  # single-step call
+            masks_np = masks_np[None]
+        out = []
+        for tt in range(masks_np.shape[0]):
+            t = t0 + tt
+            if masks_np[tt].any():
+                out.extend(self._handle_hits(base, t * mk, n_keys,
+                                             masks_np[tt],
+                                             hit_offsets_valid, on_found))
             if on_step:
                 on_step(min((t + 1) * mk, n_keys))
-        return found
+        return out
 
     def _handle_hits(self, base, step_off, n_keys, masks_np,
                      hit_offsets_valid, on_found) -> list[Found]:

@@ -48,6 +48,8 @@ class SearchConfig:
     centers: int = 64                 # M parallel group centers
     group_k: int = 1024               # K keys per center per step
     lanes: int = 1024                 # batch-inversion vector width
+    steps_per_call: int = 1           # device steps fused per dispatch
+    #  (amortizes host->device dispatch latency; masks come back stacked)
 
     @property
     def stride(self) -> int:

@@ -32,7 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .. import ecc, fe, golden, hash160
+from .. import ecc, fe, fel, golden, hash160
 from ..filters import Filter
 from . import common
 from .common import Found, SearchConfig
@@ -70,7 +70,10 @@ def build_gtable(w: int = 14, lanes: int = 1024, how: str = "auto"):
     n = 1 << w
     d = (255 // w) + 1
     if how == "auto":
-        how = "host" if d * (n - 1) <= 4096 else "device"
+        from .add import _use_jit
+        # device build only where the fused build graphs compile fast
+        # (TPU); on CPU the host progression is ~10s even at w=14
+        how = "host" if (d * (n - 1) <= 4096 or not _use_jit()) else "device"
     if how == "host":
         pts = []
         for i in range(d):
@@ -141,36 +144,52 @@ def parse_keys(lines: list[str], raw: bool) -> list[int]:
 
 
 def build_mul_step(cfg: SearchConfig, filt: Filter, w: int, batch: int):
-    """Jitted: (idx (d, B), tx, ty, bits) -> masks (V, B/32)."""
-    d = (255 // w) + 1
+    """Jitted: (idx (d, B), tx, ty, bits) -> masks (V, B/32).
+
+    Limb-first accumulation: the per-window gather stays on the
+    (N, 16) table (one gather per coordinate), then converts to fel
+    rows for the field math."""
+    from .add import _use_jit, _use_pallas
+    use_jit = _use_jit()
+    use_pallas = _use_pallas() and batch % 1024 == 0
 
     def step(idx, tx, ty, bits):
         def body(carry, idx_i):
             qx, qy, qz = carry
-            gx = jnp.take(tx, jnp.maximum(idx_i, 0), axis=0)
-            gy = jnp.take(ty, jnp.maximum(idx_i, 0), axis=0)
-            nx, ny, nz = ecc.proj_add_affine(qx, qy, qz, gx, gy)
+            gx = fel.from_last(jnp.take(tx, jnp.maximum(idx_i, 0), axis=0))
+            gy = fel.from_last(jnp.take(ty, jnp.maximum(idx_i, 0), axis=0))
+            nx, ny, nz = ecc.proj_add_affine_rows(qx, qy, qz, gx, gy)
             skip = idx_i < 0
-            qx = fe.select(skip, qx, nx)
-            qy = fe.select(skip, qy, ny)
-            qz = fe.select(skip, qz, nz)
+            qx = fel.select(skip, qx, nx)
+            qy = fel.select(skip, qy, ny)
+            qz = fel.select(skip, qz, nz)
             return (qx, qy, qz), None
 
-        zeros = jnp.zeros((idx.shape[1], 16), dtype=jnp.uint32)
-        q0 = ecc.proj_infinity(zeros)
-        (qx, qy, qz), _ = jax.lax.scan(body, q0, idx)
-        ax, ay = ecc.proj_to_affine(qx, qy, qz, lanes=min(cfg.lanes, batch))
+        zero = fel.const_rows(0, (batch,))
+        one = fel.const_rows(1, (batch,))
+        if use_jit:
+            (qx, qy, qz), _ = jax.lax.scan(body, (zero, one, zero), idx)
+        else:
+            # eager CPU path: a Python window loop keeps each op a small
+            # cached kernel (lax.scan would compile the whole body chain)
+            carry = (zero, one, zero)
+            for i in range(idx.shape[0]):
+                carry, _ = body(carry, idx[i])
+            qx, qy, qz = carry
+        ax, ay = ecc.proj_to_affine_rows(qx, qy, qz,
+                                         lanes=min(cfg.lanes, batch),
+                                         use_pallas=use_pallas)
 
         masks = []
         if cfg.addr33:
             masks.append(_pack_mask(filt.device_probe(
-                hash160.addr33_hash(ax, ay))))
+                hash160.addr33_hash_rows(ax, ay))))
         if cfg.addr65:
             masks.append(_pack_mask(filt.device_probe(
-                hash160.addr65_hash(ax, ay))))
+                hash160.addr65_hash_rows(ax, ay))))
         return jnp.stack(masks, axis=0)
 
-    return jax.jit(step)
+    return jax.jit(step) if use_jit else step
 
 
 class MulSearch:

@@ -134,12 +134,14 @@ class RndSearch:
         self.engine = AddSearch(cfg, filt)
 
     def run(self, max_iters: int | None = None, on_found=None,
-            on_iter=None) -> list[Found]:
+            on_iter=None, on_range=None) -> list[Found]:
         found = []
         iters = 0
         while True:
             lo, hi = gen_random_range(self.rng, self.cfg.range_s,
                                       self.cfg.range_e, self.offs, self.size)
+            if on_range:
+                on_range(lo, hi)   # mask print happens BEFORE the search
             sub = SearchConfig(**{**self.cfg.__dict__,
                                   "range_s": lo, "range_e": hi})
             self.engine.cfg = sub

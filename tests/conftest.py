@@ -26,14 +26,31 @@ if not os.environ.get("ECLOOP_TEST_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
-# persistent compile cache: fe/ecc graphs are large (hundreds of modmuls),
-# caching keeps repeat test runs fast
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/ecloop_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Persistent compile cache only on TPU.  On XLA:CPU, reloading cached
+# AOT executables trips a machine-feature check (+prefer-no-scatter /
+# +prefer-no-gather pseudo-features) and intermittently SEGFAULTS the
+# process; CPU per-op compiles are small (the suite runs the engines
+# eagerly — see search/add._use_jit), so in-memory caching suffices.
+if os.environ.get("ECLOOP_TEST_TPU"):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ecloop_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture
 def rng():
     return random.Random(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jit_caches():
+    """Free compiled executables between test modules.
+
+    The eager CPU engines compile thousands of small per-op
+    executables; each holds several memory mappings, and a full suite
+    run walks past vm.max_map_count (65530 default) -> XLA:CPU
+    segfaults mid-compile.  Dropping the in-memory jit caches per
+    module bounds the mapping count (per-module warmup is seconds)."""
+    yield
+    jax.clear_caches()

@@ -62,7 +62,10 @@ def test_add_resume_finds_remaining_keys(tmp_path):
     eng = AddSearch(cfg, filt, init="host")
     steps_seen = []
     found_first = eng.run_range(on_step=steps_seen.append)
-    assert steps_seen[-1] == 0x400
+    # claim coverage rounds the 0x400-key range up to GROUP (2048) keys
+    # hashed (reference batch_add coverage semantics)
+    span = -(-0x400 // 2048) * 2048
+    assert steps_seen[-1] == span
     assert {f.priv for f in found_first} == {early, late}
 
     # resume from offset 256 (one step in): only the late key remains
@@ -70,9 +73,9 @@ def test_add_resume_finds_remaining_keys(tmp_path):
     found_resumed = eng2.run_range(start_offset=mk)
     assert {f.priv for f in found_resumed} == {late}
 
-    # resume from past the end: nothing to do
+    # resume from past the end of the coverage span: nothing to do
     eng3 = AddSearch(cfg, filt, init="host")
-    assert eng3.run_range(start_offset=0x400) == []
+    assert eng3.run_range(start_offset=span) == []
 
 
 def test_config_key_covers_identity_fields(tmp_path):

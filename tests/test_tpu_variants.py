@@ -1,0 +1,73 @@
+"""Parity tests for the TPU-variant (unrolled / diagonal-form) kernels.
+
+The production TPU path uses graph forms that are pathological for
+XLA:CPU *compile time* (fully unrolled hash rounds, diagonal-sum
+mul_wide, dedicated squaring, unrolled inversion scans), so the default
+CPU suite exercises the scan/padded forms.  This module force-enables
+the TPU forms on small shapes and checks bit-exactness against the
+golden model — it runs when ECLOOP_RUN_SLOW=1 (several minutes of CPU
+compile) or automatically when a TPU backend is present.
+"""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+import jax
+
+_on_tpu = False
+try:
+    _on_tpu = jax.default_backend() != "cpu"
+except Exception:
+    pass
+
+pytestmark = pytest.mark.skipif(
+    not (_on_tpu or os.environ.get("ECLOOP_RUN_SLOW") == "1"),
+    reason="TPU-variant graphs are slow to compile on CPU; "
+           "set ECLOOP_RUN_SLOW=1")
+
+
+@pytest.fixture(autouse=True)
+def _force_variant_flags(monkeypatch):
+    monkeypatch.setenv("ECLOOP_FE_UNROLL", "1")
+    monkeypatch.setenv("ECLOOP_HASH_UNROLL", "1")
+
+
+def test_mul_sqr_inv_variant_parity(rng):
+    import jax.numpy as jnp
+    from ecloop_tpu import fe, golden
+
+    vals = [rng.randrange(golden.P) for _ in range(64)]
+    a = jnp.asarray(fe.ints_to_limbs(vals))
+    b = jnp.asarray(fe.ints_to_limbs(list(reversed(vals))))
+
+    got = fe.limbs_to_ints(np.asarray(jax.jit(fe.mul_mod_p)(a, b)))
+    want = [x * y % golden.P for x, y in zip(vals, reversed(vals))]
+    assert got == want
+
+    got = fe.limbs_to_ints(np.asarray(jax.jit(fe.sqr_mod_p)(a)))
+    assert got == [x * x % golden.P for x in vals]
+
+    got = fe.limbs_to_ints(np.asarray(jax.jit(fe.inv_mod_p)(a)))
+    assert got == [pow(x, golden.P - 2, golden.P) for x in vals]
+
+    batched = jax.jit(lambda x: fe.inv_mod_p_batch(x, lanes=16))
+    got = fe.limbs_to_ints(np.asarray(batched(a)))
+    assert got == [pow(x, golden.P - 2, golden.P) for x in vals]
+
+
+def test_hash_variant_parity(rng):
+    import jax.numpy as jnp
+    from ecloop_tpu import fe, golden, hash160
+
+    ks = [rng.randrange(1, golden.N) for _ in range(8)]
+    pts = [golden.point_mul(k) for k in ks]
+    x = jnp.asarray(fe.ints_to_limbs([p[0] for p in pts]))
+    y = jnp.asarray(fe.ints_to_limbs([p[1] for p in pts]))
+    h33 = np.asarray(jax.jit(hash160.addr33_hash)(x, y))
+    h65 = np.asarray(jax.jit(hash160.addr65_hash)(x, y))
+    for i, p in enumerate(pts):
+        assert hash160.h160_to_hex(h33[i])[0] == golden.addr33(p).hex()
+        assert hash160.h160_to_hex(h65[i])[0] == golden.addr65(p).hex()

@@ -40,14 +40,15 @@ def main():
         t0 = time.time()
         cx, cy, masks = eng.step_fn(cx, cy, eng.tx, eng.ty, eng.dpx,
                                     eng.dpy, eng.bits)
-        jax.block_until_ready(masks)
-        t_compile = time.time() - t0
-        steps = max(2, int(2e8) // (m * k))
+        np.asarray(masks)   # real execution barrier (block_until_ready
+        t_compile = time.time() - t0  # is unreliable through the tunnel)
+        steps = max(4, int(3e7) // (m * k))
         t0 = time.time()
         for _ in range(steps):
             cx, cy, masks = eng.step_fn(cx, cy, eng.tx, eng.ty, eng.dpx,
                                         eng.dpy, eng.bits)
-        jax.block_until_ready(masks)
+        np.asarray(masks)
+        np.asarray(cx)
         dt = time.time() - t0
         rate = steps * m * k / dt / 1e6
         print(f"M={m:4d} K={k:5d} L={lanes:5d}: setup={t_setup:5.1f}s "

@@ -45,11 +45,17 @@ class SearchConfig:
     endo: bool = False
     job_size: int | None = None       # derived like main.c:440-442
     # device batch geometry: one step covers lanes*... = centers*K keys
-    centers: int = 64                 # M parallel group centers
-    group_k: int = 1024               # K keys per center per step
-    lanes: int = 1024                 # batch-inversion vector width
-    steps_per_call: int = 1           # device steps fused per dispatch
-    #  (amortizes host->device dispatch latency; masks come back stacked)
+    # geometry default = the measured TPU optimum (tools/exp_step_sweep:
+    # throughput is flat in M*K from 128k to 512k keys/step, 32x4096 has
+    # the lowest compile time and matches bench.py so CLI runs share the
+    # persistent executable cache)
+    centers: int = 32                 # M parallel group centers
+    group_k: int = 4096               # K keys per center per step
+    lanes: int = 4096                 # batch-inversion vector width
+    steps_per_call: int = 8           # device steps fused per dispatch
+    #  (amortizes host<->device dispatch/fetch latency — ~25 ms per mask
+    #  fetch through the device tunnel vs ~3 ms device compute per step;
+    #  masks come back stacked (T, V, M*K/32))
 
     @property
     def stride(self) -> int:

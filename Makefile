@@ -40,6 +40,16 @@ bench-gtable:
 native:
 	$(MAKE) -C native
 
+# remote one-shot execution (reference Makefile:77-101): rsync the tree
+# to a host and run a make target there.  For coordinated multi-host
+# searches prefer the jax.distributed launch (ECLOOP_COORDINATOR=...,
+# see ecloop_tpu/parallel/multihost.py) — it splits ranges automatically.
+#   make remote host=user@box cmd="make add"
+remote:
+	rsync -az --exclude .git --exclude __pycache__ --exclude .pytest_cache \
+		. $(host):/tmp/ecloop-tpu
+	ssh $(host) "cd /tmp/ecloop-tpu && $(cmd)"
+
 clean:
 	rm -rf __pycache__ ecloop_tpu/__pycache__ tests/__pycache__ .pytest_cache
 	$(MAKE) -C native clean 2>/dev/null || true

@@ -552,6 +552,14 @@ def main(argv: list[str] | None = None) -> int:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    # multi-host: join a jax.distributed job when env requests it
+    # (ECLOOP_COORDINATOR/ECLOOP_NUM_PROCS/ECLOOP_PROC_ID, or
+    # ECLOOP_DISTRIBUTED=1 for pod autodetection) — the device mesh then
+    # spans all hosts and each process drains only its own range shards
+    from .parallel import multihost
+    if multihost.init_from_env():
+        print(multihost.process_banner(), file=sys.stderr)
+
     if cmd == "blf-gen":
         return cmd_blf_gen(args)
     if cmd == "blf-check":

@@ -111,8 +111,34 @@ class ShardedAddSearch:
         self.k_found = 0
 
     def _shard_centers(self, cx, cy):
+        """Build the sharded center arrays.  Every process computes the
+        full (deterministic, host-side) center table and contributes its
+        addressable slices — works single- and multi-process."""
         sh = NamedSharding(self.mesh, P("rng"))
-        return jax.device_put(cx, sh), jax.device_put(cy, sh)
+        cxn, cyn = np.asarray(cx), np.asarray(cy)
+        mk_arr = jax.make_array_from_callback
+        return (mk_arr(cxn.shape, sh, lambda idx: cxn[idx]),
+                mk_arr(cyn.shape, sh, lambda idx: cyn[idx]))
+
+    @staticmethod
+    def _local_mask_words(masks):
+        """Fetch only this process's addressable mask shards.
+
+        Returns [(word_offset, (V, w) np.ndarray), ...].  masks is
+        (V, W) sharded P(None, "rng"); on a multi-host mesh a plain
+        np.asarray would need every shard — each process instead drains
+        and verifies the hit words of the ranges it owns."""
+        out = []
+        for s in masks.addressable_shards:
+            sl = s.index[1]
+            out.append((sl.start or 0, np.asarray(s.data)))
+        # dedupe replicated-shard corner (1-device meshes)
+        seen, uniq = set(), []
+        for off, w in out:
+            if off not in seen:
+                seen.add(off)
+                uniq.append((off, w))
+        return uniq
 
     def run_span(self, base: int, n_keys: int, on_found=None,
                  on_step=None) -> list[Found]:
@@ -139,11 +165,12 @@ class ShardedAddSearch:
                 continue
             t, pmasks = pending
             pending = (t0, masks) if t0 < steps else None
-            masks_np = np.asarray(pmasks)
-            if masks_np.any():
+            for word_off, masks_np in self._local_mask_words(pmasks):
+                if not masks_np.any():
+                    continue
                 for v, (e, is33) in enumerate(self.variants):
                     for j in np.nonzero(unpack_mask(masks_np[v]))[0]:
-                        off = t * mk + int(j)
+                        off = t * mk + word_off * 32 + int(j)
                         if off >= n_keys:
                             continue
                         priv = common.recover_priv(base, off, cfg.stride, e)

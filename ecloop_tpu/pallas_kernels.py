@@ -153,6 +153,61 @@ def _build_inv(seg_elems: int, n_segs: int):
     return call
 
 
+def _hash_kernel(is33: bool, *refs):
+    """refs: 16 x-limb refs, 16 y-limb refs, 5 hash160 word refs — each
+    (S, SUB, LANE).  The whole serialize -> SHA-256 -> RIPEMD-160 chain
+    runs on VMEM values (the unrolled jnp round functions trace into the
+    kernel), so the 64-entry SHA message schedule and every round
+    intermediate stay on-chip instead of round-tripping to HBM between
+    XLA fusion segments."""
+    from . import hash160
+    x = tuple(r[:] for r in refs[:NLIMBS])
+    y = tuple(r[:] for r in refs[NLIMBS:2 * NLIMBS])
+    if is33:
+        h = hash160.addr33_hash_rows(x, y)
+    else:
+        h = hash160.addr65_hash_rows(x, y)
+    for i in range(5):
+        refs[2 * NLIMBS + i][:] = h[i]
+
+
+@functools.lru_cache(maxsize=16)
+def _build_hash(is33: bool, n_tiles: int, s_blk: int):
+    kern = functools.partial(_hash_kernel, is33)
+    blk = (s_blk, SUB, LANE)
+    spec = pl.BlockSpec(blk, lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+    shape = (n_tiles, SUB, LANE)
+    return pl.pallas_call(
+        kern,
+        grid=(n_tiles // s_blk,),
+        in_specs=[spec] * (2 * NLIMBS),
+        out_specs=[spec] * 5,
+        out_shape=[jax.ShapeDtypeStruct(shape, jnp.uint32)] * 5,
+    )
+
+
+def _hash_rows_pallas(is33: bool, x_rows, y_rows):
+    shape = x_rows[0].shape
+    n = int(np.prod(shape))
+    assert n % W == 0, shape
+    n_tiles = n // W
+    s_blk = next(s for s in (8, 4, 2, 1) if n_tiles % s == 0)
+    shaped = [r.reshape(n_tiles, SUB, LANE) for r in (*x_rows, *y_rows)]
+    out = _build_hash(is33, n_tiles, s_blk)(*shaped)
+    return [r.reshape(shape) for r in out]
+
+
+def addr33_hash_rows_pallas(x_rows, y_rows):
+    """hash160 of compressed pubkeys (fused Pallas kernel); rows may be
+    any shape with size % 1024 == 0.  Output: 5 u32 word rows."""
+    return _hash_rows_pallas(True, x_rows, y_rows)
+
+
+def addr65_hash_rows_pallas(x_rows, y_rows):
+    """hash160 of uncompressed pubkeys (fused Pallas kernel)."""
+    return _hash_rows_pallas(False, x_rows, y_rows)
+
+
 def inv_mod_batch_pallas(x, seg_elems: int = 65536):
     """Batched modular inversion of fel row tuples, shape (B,) each.
 

@@ -192,11 +192,24 @@ def make_step(cfg: SearchConfig, filt: Filter):
         emap = {0: (0, 0), 1: (0, 1), 2: (1, 0), 3: (1, 1), 4: (2, 0),
                 5: (2, 1)}
 
+        # ECLOOP_PALLAS_HASH=1 opts into the fused Pallas hash kernel;
+        # measured equal to the XLA-fused pipeline within noise
+        # (tools/exp_hash_pallas.py), so XLA (which can also fuse the
+        # chord outputs into the serialization) stays the default.
+        import os
+        pallas_hash = (use_pallas and os.environ.get("ECLOOP_PALLAS_HASH")
+                       == "1" and xs[0][0].size % 1024 == 0)
         masks = []
         for e, is33 in variants:
             xv, yv = emap[e]
-            hw = (hash160.addr33_hash_rows if is33
-                  else hash160.addr65_hash_rows)(xs[xv], ys[yv])
+            if pallas_hash:
+                from .. import pallas_kernels
+                hw = (pallas_kernels.addr33_hash_rows_pallas if is33
+                      else pallas_kernels.addr65_hash_rows_pallas)(
+                          xs[xv], ys[yv])
+            else:
+                hw = (hash160.addr33_hash_rows if is33
+                      else hash160.addr65_hash_rows)(xs[xv], ys[yv])
             hit = filt.device_probe(hw)
             masks.append(_pack_mask(hit))
         return fel.to_last(ncxr), fel.to_last(ncyr), jnp.stack(masks, axis=0)

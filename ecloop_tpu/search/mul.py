@@ -152,21 +152,31 @@ def build_mul_step(cfg: SearchConfig, filt: Filter, w: int, batch: int):
     from .add import _use_jit, _use_pallas
     use_jit = _use_jit()
     use_pallas = _use_pallas() and batch % 1024 == 0
+    # full-tile layout: (B/1024, 8, 128) rows use all 8 sublanes; flat
+    # (B,) rows run the VPU at 1/8 width (see search/add.py r3d)
+    tiled = use_jit and batch % 1024 == 0
+    bshape = (batch // 1024, 8, 128) if tiled else (batch,)
+
+    def t3(rows):
+        return (tuple(r.reshape(bshape) for r in rows) if tiled
+                else tuple(rows))
 
     def step(idx, tx, ty, bits):
         def body(carry, idx_i):
             qx, qy, qz = carry
-            gx = fel.from_last(jnp.take(tx, jnp.maximum(idx_i, 0), axis=0))
-            gy = fel.from_last(jnp.take(ty, jnp.maximum(idx_i, 0), axis=0))
+            gx = t3(fel.from_last(jnp.take(tx, jnp.maximum(idx_i, 0),
+                                           axis=0)))
+            gy = t3(fel.from_last(jnp.take(ty, jnp.maximum(idx_i, 0),
+                                           axis=0)))
             nx, ny, nz = ecc.proj_add_affine_rows(qx, qy, qz, gx, gy)
-            skip = idx_i < 0
+            skip = (idx_i < 0).reshape(bshape)
             qx = fel.select(skip, qx, nx)
             qy = fel.select(skip, qy, ny)
             qz = fel.select(skip, qz, nz)
             return (qx, qy, qz), None
 
-        zero = fel.const_rows(0, (batch,))
-        one = fel.const_rows(1, (batch,))
+        zero = fel.const_rows(0, bshape)
+        one = fel.const_rows(1, bshape)
         if use_jit:
             (qx, qy, qz), _ = jax.lax.scan(body, (zero, one, zero), idx)
         else:
@@ -176,17 +186,29 @@ def build_mul_step(cfg: SearchConfig, filt: Filter, w: int, batch: int):
             for i in range(idx.shape[0]):
                 carry, _ = body(carry, idx[i])
             qx, qy, qz = carry
-        ax, ay = ecc.proj_to_affine_rows(qx, qy, qz,
-                                         lanes=min(cfg.lanes, batch),
-                                         use_pallas=use_pallas)
+        if tiled:
+            # inversion works on flat rows; the x/y*z^-1 muls stay tiled
+            zflat = tuple(r.reshape(-1) for r in qz)
+            if use_pallas:
+                from .. import pallas_kernels
+                zinv = pallas_kernels.inv_mod_batch_pallas(zflat)
+            else:
+                zinv = fel.inv_mod_batch(zflat, lanes=min(cfg.lanes, batch))
+            zinv = t3(zinv)
+            ax = fel.mul_mod(qx, zinv)
+            ay = fel.mul_mod(qy, zinv)
+        else:
+            ax, ay = ecc.proj_to_affine_rows(qx, qy, qz,
+                                             lanes=min(cfg.lanes, batch),
+                                             use_pallas=use_pallas)
 
+        h33f = hash160.addr33_hash_rows
+        h65f = hash160.addr65_hash_rows
         masks = []
         if cfg.addr33:
-            masks.append(_pack_mask(filt.device_probe(
-                hash160.addr33_hash_rows(ax, ay))))
+            masks.append(_pack_mask(filt.device_probe(h33f(ax, ay))))
         if cfg.addr65:
-            masks.append(_pack_mask(filt.device_probe(
-                hash160.addr65_hash_rows(ax, ay))))
+            masks.append(_pack_mask(filt.device_probe(h65f(ax, ay))))
         return jnp.stack(masks, axis=0)
 
     return jax.jit(step) if use_jit else step

@@ -71,3 +71,26 @@ def test_hash_variant_parity(rng):
     for i, p in enumerate(pts):
         assert hash160.h160_to_hex(h33[i])[0] == golden.addr33(p).hex()
         assert hash160.h160_to_hex(h65[i])[0] == golden.addr65(p).hex()
+
+
+@pytest.mark.skipif(not _on_tpu, reason="Pallas kernels need Mosaic/TPU")
+def test_pallas_hash_parity(rng):
+    """Fused Pallas hash160 kernel vs golden, at one full tile batch."""
+    import jax.numpy as jnp
+    from ecloop_tpu import fe, fel, golden, hash160, pallas_kernels
+
+    ks = [rng.randrange(1, golden.N) for _ in range(64)] * 16
+    pts = [golden.point_mul(k) for k in ks]
+    x = tuple(r.reshape(-1, 8, 128) for r in fel.from_last(
+        jnp.asarray(fe.ints_to_limbs([p[0] for p in pts]))))
+    y = tuple(r.reshape(-1, 8, 128) for r in fel.from_last(
+        jnp.asarray(fe.ints_to_limbs([p[1] for p in pts]))))
+    h33 = [np.asarray(r).reshape(-1) for r in
+           jax.jit(pallas_kernels.addr33_hash_rows_pallas)(x, y)]
+    h65 = [np.asarray(r).reshape(-1) for r in
+           jax.jit(pallas_kernels.addr65_hash_rows_pallas)(x, y)]
+    for i in (0, 1, 63, 64, 1023):
+        got33 = "".join(f"{h[i]:08x}" for h in h33)
+        got65 = "".join(f"{h[i]:08x}" for h in h65)
+        assert got33 == golden.addr33(pts[i]).hex()
+        assert got65 == golden.addr65(pts[i]).hex()

@@ -421,12 +421,16 @@ def cmd_mul(args: Args) -> int:
                 continue
             batch.append(line)
             if len(batch) >= eng.batch:
-                eng.run_lines(batch, on_found=status.write_found)
+                # drain=False keeps one job in flight: the device works
+                # on this job while the host parses the next chunk
+                eng.run_lines(batch, on_found=status.write_found,
+                              drain=False)
                 status.update(len(batch))
                 batch = []
         if batch:
-            eng.run_lines(batch, on_found=status.write_found)
+            eng.run_lines(batch, on_found=status.write_found, drain=False)
             status.update(len(batch))
+        eng.flush(on_found=status.write_found)
         status.finish()
     finally:
         tty.cleanup()

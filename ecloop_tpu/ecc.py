@@ -52,16 +52,22 @@ def proj_dbl_rows(x1, y1, z1):
     return x3, y3, z3
 
 
-def proj_add_affine_rows(x1, y1, z1, x2, y2):
-    """Mixed projective+affine addition on fel rows, complete via
-    selects (P = inf, P == Q, P == -Q all handled)."""
+def proj_add_affine_rows(x1, y1, z1, x2, y2, complete: bool = True):
+    """Mixed projective+affine addition on fel rows.
+
+    complete=True: P = inf, P == Q, P == -Q all handled via selects.
+    complete=False drops the P == Q doubling branch (~45% of the math):
+    P = inf and P == -Q (result = infinity) still work.  Callers may use
+    it when P == Q is impossible — e.g. the gtable window scan, where
+    the accumulator after the first i windows is (k mod 2^(w*i))*G with
+    k mod 2^(w*i) < 2^(w*i), while the incoming table point is
+    digit*2^(w*i)*G with digit >= 1, so their scalars can never match
+    (nor sum to n) until the top window wraps mod n."""
     u1 = fel.mul_mod(y2, z1)
     v1 = fel.mul_mod(x2, z1)
     u = fel.sub_mod(u1, y1)
     v = fel.sub_mod(v1, x1)
 
-    same_x = fel.is_zero(v)
-    same_y = fel.is_zero(u)
     p_inf = fel.is_zero(z1)
 
     vsq = fel.sqr_mod(v)
@@ -75,11 +81,14 @@ def proj_add_affine_rows(x1, y1, z1, x2, y2):
         fel.mul_mod(vcu, y1))
     z3 = fel.mul_mod(vcu, z1)
 
-    dx_, dy_, dz_ = proj_dbl_rows(x1, y1, z1)
-    is_dbl = same_x & same_y & ~p_inf
-    x3 = fel.select(is_dbl, dx_, x3)
-    y3 = fel.select(is_dbl, dy_, y3)
-    z3 = fel.select(is_dbl, dz_, z3)
+    if complete:
+        same_x = fel.is_zero(v)
+        same_y = fel.is_zero(u)
+        dx_, dy_, dz_ = proj_dbl_rows(x1, y1, z1)
+        is_dbl = same_x & same_y & ~p_inf
+        x3 = fel.select(is_dbl, dx_, x3)
+        y3 = fel.select(is_dbl, dy_, y3)
+        z3 = fel.select(is_dbl, dz_, z3)
 
     one = fel.const_rows(1, x3[0].shape)
     x3 = fel.select(p_inf, x2, x3)

@@ -54,6 +54,14 @@ def _host_progression(start: "golden.Point", step: "golden.Point",
     return out
 
 
+def _gtable_cache_path(w: int) -> str | None:
+    import os
+    base = os.environ.get("ECLOOP_CACHE_DIR", "/tmp/ecloop_jax_cache")
+    if not base:
+        return None
+    return os.path.join(base, f"gtable_w{w}.npy")
+
+
 @functools.lru_cache(maxsize=2)
 def build_gtable(w: int = 14, lanes: int = 1024, how: str = "auto"):
     """Build the gtable: (tx, ty) of shape (d*(2^w-1), 16), flat layout
@@ -66,21 +74,32 @@ def build_gtable(w: int = 14, lanes: int = 1024, how: str = "auto"):
       2. rows 1..d-1 = lax.scan of w projective doublings per row
          (row i = 2^w * row i-1),
       3. one chunked batch reduction to affine.
+
+    The finished table is cached on disk (it is a pure function of w):
+    a warm start is one 80 MB load instead of minutes of build graphs.
     """
+    import os
     n = 1 << w
     d = (255 // w) + 1
+    cache = _gtable_cache_path(w)
+    if cache and os.path.exists(cache) and how != "host":
+        both = np.load(cache)
+        return jnp.asarray(both[0]), jnp.asarray(both[1])
     if how == "auto":
-        from .add import _use_jit
-        # device build only where the fused build graphs compile fast
-        # (TPU); on CPU the host progression is ~10s even at w=14
-        how = "host" if (d * (n - 1) <= 4096 or not _use_jit()) else "device"
+        # the host progression is ~1 min at w=14 (and cached on disk
+        # after the first run); the device build's fixed-shape graphs
+        # take far longer than that just to compile.  "device" stays
+        # available explicitly (and is what bench-gtable exercises).
+        how = "host"
     if how == "host":
         pts = []
         for i in range(d):
             base = golden.point_mul(pow(2, w * i, N))
             pts.extend(_host_progression(base, base, n - 1))
-        return (jnp.asarray(fe.ints_to_limbs([p[0] for p in pts])),
-                jnp.asarray(fe.ints_to_limbs([p[1] for p in pts])))
+        tx = np.asarray(fe.ints_to_limbs([p[0] for p in pts]))
+        ty = np.asarray(fe.ints_to_limbs([p[1] for p in pts]))
+        _gtable_cache_save(cache, tx, ty)
+        return jnp.asarray(tx), jnp.asarray(ty)
 
     # --- 1. row 0: j*G via outer sum of seed tables --------------------
     half = 1 << (w // 2)
@@ -118,19 +137,43 @@ def build_gtable(w: int = 14, lanes: int = 1024, how: str = "auto"):
     allz = jnp.concatenate([one[None], rz], axis=0).reshape(-1, 16)
     rdc = jax.jit(ecc.proj_to_affine, static_argnames="lanes")
     tx, ty = rdc(allx, ally, allz, lanes=lanes)
+    _gtable_cache_save(cache, np.asarray(tx), np.asarray(ty))
     return jax.device_put(tx), jax.device_put(ty)
 
 
+def _gtable_cache_save(cache: str | None, tx: np.ndarray,
+                       ty: np.ndarray) -> None:
+    if not cache:
+        return
+    import os
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + ".tmp.npy"
+        np.save(tmp, np.stack([tx, ty]))
+        os.replace(tmp, cache)
+    except OSError:
+        pass
+
+
 def window_indices(keys: list[int], w: int) -> np.ndarray:
-    """(B, d) int32 flat gather indices; -1 marks a zero digit (skip)."""
+    """(B, d) int32 flat gather indices; -1 marks a zero digit (skip).
+
+    Vectorized: keys -> (B, 4) u64 words, then d shift/mask column ops
+    (a per-key Python loop costs ~50 ms per 2048-key job — comparable
+    to the whole device step)."""
     n = 1 << w
     d = (255 // w) + 1
-    out = np.full((len(keys), d), -1, dtype=np.int32)
-    for r, k in enumerate(keys):
-        for i in range(d):
-            digit = (k >> (w * i)) & (n - 1)
-            if digit:
-                out[r, i] = (n - 1) * i + digit - 1
+    raw = b"".join(k.to_bytes(32, "little") for k in keys)
+    words = np.frombuffer(raw, dtype="<u8").reshape(len(keys), 4)
+    out = np.empty((len(keys), d), dtype=np.int32)
+    for i in range(d):
+        j, sh = divmod(w * i, 64)
+        lo = words[:, j] >> np.uint64(sh)
+        if sh and j + 1 < 4:
+            lo = lo | (words[:, j + 1] << np.uint64(64 - sh))
+        digit = (lo & np.uint64(n - 1)).astype(np.int64)
+        np.subtract((n - 1) * i + digit, 1, out=out[:, i], casting="unsafe")
+        out[:, i][digit == 0] = -1
     return out
 
 
@@ -162,30 +205,40 @@ def build_mul_step(cfg: SearchConfig, filt: Filter, w: int, batch: int):
                 else tuple(rows))
 
     def step(idx, tx, ty, bits):
-        def body(carry, idx_i):
-            qx, qy, qz = carry
-            gx = t3(fel.from_last(jnp.take(tx, jnp.maximum(idx_i, 0),
-                                           axis=0)))
-            gy = t3(fel.from_last(jnp.take(ty, jnp.maximum(idx_i, 0),
-                                           axis=0)))
-            nx, ny, nz = ecc.proj_add_affine_rows(qx, qy, qz, gx, gy)
-            skip = (idx_i < 0).reshape(bshape)
-            qx = fel.select(skip, qx, nx)
-            qy = fel.select(skip, qy, ny)
-            qz = fel.select(skip, qz, nz)
-            return (qx, qy, qz), None
+        def make_body(complete):
+            def body(carry, idx_i):
+                qx, qy, qz = carry
+                gx = t3(fel.from_last(jnp.take(tx, jnp.maximum(idx_i, 0),
+                                               axis=0)))
+                gy = t3(fel.from_last(jnp.take(ty, jnp.maximum(idx_i, 0),
+                                               axis=0)))
+                nx, ny, nz = ecc.proj_add_affine_rows(qx, qy, qz, gx, gy,
+                                                      complete=complete)
+                skip = (idx_i < 0).reshape(bshape)
+                qx = fel.select(skip, qx, nx)
+                qy = fel.select(skip, qy, ny)
+                qz = fel.select(skip, qz, nz)
+                return (qx, qy, qz), None
+            return body
 
+        # windows 0..d-2 can never hit the P == Q doubling case (see
+        # proj_add_affine_rows docstring): accumulator scalar < 2^(w*i)
+        # <= table-point scalar < n.  Only the top window (whose table
+        # points wrap mod n) needs the complete add.
+        body = make_body(False)
+        last = make_body(True)
         zero = fel.const_rows(0, bshape)
         one = fel.const_rows(1, bshape)
         if use_jit:
-            (qx, qy, qz), _ = jax.lax.scan(body, (zero, one, zero), idx)
+            carry, _ = jax.lax.scan(body, (zero, one, zero), idx[:-1])
+            (qx, qy, qz), _ = last(carry, idx[-1])
         else:
             # eager CPU path: a Python window loop keeps each op a small
             # cached kernel (lax.scan would compile the whole body chain)
             carry = (zero, one, zero)
-            for i in range(idx.shape[0]):
+            for i in range(idx.shape[0] - 1):
                 carry, _ = body(carry, idx[i])
-            qx, qy, qz = carry
+            (qx, qy, qz), _ = last(carry, idx[-1])
         if tiled:
             # inversion works on flat rows; the x/y*z^-1 muls stay tiled
             zflat = tuple(r.reshape(-1) for r in qz)
@@ -234,8 +287,22 @@ class MulSearch:
         self.step_fn = build_mul_step(cfg, filt, w, batch)
         self.k_checked = 0
         self.k_found = 0
+        # in-flight (job, masks, on_found) jobs; depth > 1 hides the
+        # host<->device mask-fetch round-trip latency behind several
+        # dispatched steps (ECLOOP_MUL_INFLIGHT overrides)
+        import collections
+        import os
+        self._depth = int(os.environ.get("ECLOOP_MUL_INFLIGHT", "4"))
+        self._pending = collections.deque()
 
-    def run_keys(self, keys: list[int], on_found=None) -> list[Found]:
+    def run_keys(self, keys: list[int], on_found=None,
+                 drain: bool = True) -> list[Found]:
+        """Dispatch jobs of `batch` keys; the mask fetch of each job is
+        deferred until the NEXT job is dispatched (host parse and device
+        step overlap — JAX async dispatch provides the pipelining the
+        reference gets from its producer/consumer queue).  With
+        drain=False one job may remain in flight across calls (the CLI's
+        streaming path); such callers must finish with flush()."""
         found = []
         for off in range(0, len(keys), self.batch):
             job = keys[off:off + self.batch]
@@ -246,15 +313,33 @@ class MulSearch:
                     [idx, np.full((pad, idx.shape[1]), -1, np.int32)], axis=0)
             masks = self.step_fn(jnp.asarray(idx.T), self.tx, self.ty,
                                  self.bits)
-            found.extend(self._handle_hits(job, np.asarray(masks), on_found))
-            self.k_checked += len(job)
+            self._pending.append((job, masks, on_found))
+            while len(self._pending) > self._depth:
+                found.extend(self._drain_one(on_found))
+        if drain:
+            found.extend(self.flush(on_found))
         return found
 
-    def run_lines(self, lines, on_found=None) -> list[Found]:
+    def flush(self, on_found=None) -> list[Found]:
+        """Drain all in-flight jobs; returns their finds."""
+        found = []
+        while self._pending:
+            found.extend(self._drain_one(on_found))
+        return found
+
+    def _drain_one(self, on_found=None) -> list[Found]:
+        job, masks, pending_on_found = self._pending.popleft()
+        found = self._handle_hits(job, np.asarray(masks),
+                                  pending_on_found or on_found)
+        self.k_checked += len(job)
+        return found
+
+    def run_lines(self, lines, on_found=None,
+                  drain: bool = True) -> list[Found]:
         lines = [ln.rstrip("\r\n") for ln in lines]
         lines = [ln for ln in lines if ln]
         keys = parse_keys(lines, self.raw)
-        return self.run_keys(keys, on_found=on_found)
+        return self.run_keys(keys, on_found=on_found, drain=drain)
 
     def _handle_hits(self, job, masks_np, on_found) -> list[Found]:
         out = []

@@ -212,3 +212,46 @@ def test_claim_planning_parity():
 def test_verify_found_oracle_raises_on_bad_hash():
     with pytest.raises(AssertionError):
         common.verify_found(12345, "addr33", "00" * 20)
+
+
+def test_window_indices_matches_scalar_reference():
+    """Vectorized window extraction == per-key digit loop (reference
+    ec_gtable_mul's (k >> w*i) & (2^w - 1) digits, lib/ecc.c:919-927)."""
+    from ecloop_tpu.search.mul import window_indices
+    import random as _random
+
+    r = _random.Random(99)
+    keys = [0, 1, golden.N - 1, (1 << 256) - 1, 1 << 255]
+    keys += [r.randrange(1 << 256) for _ in range(50)]
+    for w in (4, 8, 14, 16):
+        n = 1 << w
+        d = (255 // w) + 1
+        got = window_indices(keys, w)
+        assert got.shape == (len(keys), d)
+        for row, k in enumerate(keys):
+            for i in range(d):
+                digit = (k >> (w * i)) & (n - 1)
+                want = (n - 1) * i + digit - 1 if digit else -1
+                assert got[row, i] == want, (w, row, i)
+
+
+def test_gtable_host_build_and_disk_cache(tmp_path, monkeypatch):
+    """Host gtable entries equal j*2^(w*i)*G; disk cache round-trips."""
+    import os
+    from ecloop_tpu import fe
+    from ecloop_tpu.search import mul as mulmod
+
+    monkeypatch.setenv("ECLOOP_CACHE_DIR", str(tmp_path))
+    mulmod.build_gtable.cache_clear()
+    tx, ty = mulmod.build_gtable(w=4, how="auto")
+    for wi, dj in ((0, 1), (0, 15), (3, 7), (63, 9)):
+        idx = 15 * wi + dj - 1
+        px, py = golden.point_mul((dj << (4 * wi)) % golden.N)
+        assert fe.limbs_to_int(np.asarray(tx[idx])) == px
+        assert fe.limbs_to_int(np.asarray(ty[idx])) == py
+    assert os.path.exists(tmp_path / "gtable_w4.npy")
+
+    mulmod.build_gtable.cache_clear()
+    tx2, _ = mulmod.build_gtable(w=4, how="auto")  # loads from disk
+    assert np.array_equal(np.asarray(tx), np.asarray(tx2))
+    mulmod.build_gtable.cache_clear()

@@ -40,8 +40,9 @@ def main() -> int:
     endo = bool(int(os.environ.get("ECLOOP_BENCH_ENDO", "0")))
 
     import numpy as _np
-    filt = filters.load_filter(
-        os.path.join(os.path.dirname(__file__), "data", "btc-puzzles-hash"))
+    filt = filters.load_filter(os.environ.get(
+        "ECLOOP_BENCH_FILTER",
+        os.path.join(os.path.dirname(__file__), "data", "btc-puzzles-hash")))
     spc = int(os.environ.get("ECLOOP_BENCH_SPC", 8))
     cfg = SearchConfig(range_s=0x100000000, range_e=0x200000000,
                        addr33=True, addr65=False, endo=endo,

@@ -228,19 +228,41 @@ def _barrett_mod(hi, lo, m: int):
     return word32, bit5
 
 
-def probe_exact(h_words, bits_u32, nbits: int):
+def probe_exact(h_words, bits_u32, nbits: int, nprobes: int = 20):
     """Exact reference bloom membership on device.
 
     h_words: (..., 5) u32; bits_u32: (W,) u32 (LE view of the u64 array);
     nbits: size*64 (static).  Returns (...,) bool.
+
+    nprobes < 20 evaluates only the first nprobes of the 20 reference
+    probe indices — a device-side prefilter (each Barrett-mod probe costs
+    ~a hundred VPU ops plus a gather, so 20 probes rival the whole hash
+    pipeline).  Callers using it MUST re-check survivors against all 20
+    probes on host (`BloomFilter.has_many`) to keep the reference's
+    found-set semantics bit-exact.
     """
     hit = None
-    for hi, lo in _probe_pairs(h_words):
+    for hi, lo in _probe_pairs(h_words)[:nprobes]:
         w32, b5 = _barrett_mod(hi, lo, nbits)
         word = jnp.take(bits_u32, w32.astype(jnp.int32), axis=0)
         bit = (word >> b5) & 1
         hit = bit if hit is None else (hit & bit)
     return hit == 1
+
+
+def adaptive_probe_count(bits: np.ndarray, target_fp: float = 1e-6) -> int:
+    """Smallest device-probe count whose estimated false-positive rate is
+    <= target_fp given the filter's measured fill ratio (fp ~= fill^k).
+    The host confirm absorbs the (rare) extra survivors, so this choice
+    affects throughput only, never the found set."""
+    nbits = bits.size * 64
+    fill = float(np.bitwise_count(bits).sum()) / max(nbits, 1)
+    if fill <= 0.0:
+        return 1
+    if fill >= 1.0:
+        return 20
+    k = math.ceil(math.log(target_fp) / math.log(fill))
+    return max(1, min(20, k))
 
 
 def probe_pow2(h_words, bits_u32, log2_bits: int, nprobes: int = 2):

@@ -34,6 +34,9 @@ class Filter:
     # TPU gathers are the probe's cost; 2 probes at ~0.25% fill give
     # ~1e-5 false-positive/key — the host exact check absorbs those
     pow2_probes: int = 2
+    # bloom mode: device probes actually evaluated (adaptive prefilter;
+    # host confirm re-checks all 20, so the found set never changes)
+    blf_probes: int = 20
 
     @property
     def count(self) -> int:
@@ -45,7 +48,8 @@ class Filter:
         Must be called under jit with self captured statically."""
         bits = jnp.asarray(self.device_bits)
         if self.mode == "bloom":
-            return bloom.probe_exact(h_words, bits, nbits=self.blf.nbits)
+            return bloom.probe_exact(h_words, bits, nbits=self.blf.nbits,
+                                     nprobes=self.blf_probes)
         return bloom.probe_pow2(h_words, bits, log2_bits=self.pow2_log2,
                                 nprobes=self.pow2_probes)
 
@@ -97,9 +101,14 @@ def parse_hash_lines(text: str) -> np.ndarray:
 
 def load_filter(path: str) -> Filter:
     if path.endswith(".blf"):
+        import os
         blf = bloom.BloomFilter.load(path)
+        env = os.environ.get("ECLOOP_BLF_PROBES")
+        nprobes = (int(env) if env
+                   else bloom.adaptive_probe_count(blf.bits))
         return Filter(mode="bloom", targets=None, blf=blf,
-                      device_bits=blf.as_u32(), pow2_log2=None)
+                      device_bits=blf.as_u32(), pow2_log2=None,
+                      blf_probes=max(1, min(20, nprobes)))
 
     with open(path) as f:
         hashes = parse_hash_lines(f.read())

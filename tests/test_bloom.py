@@ -137,3 +137,31 @@ def test_blf_gen_byte_parity_with_reference(tmp_path, rng):
     ours = tmp_path / "ours.blf"
     blf.save(str(ours))
     assert ref_path.read_bytes() == ours.read_bytes()
+
+
+def test_adaptive_probe_count():
+    # empty filter -> 1 probe; saturated -> all 20
+    assert bloom.adaptive_probe_count(np.zeros(64, dtype=np.uint64)) == 1
+    assert bloom.adaptive_probe_count(
+        np.full(64, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)) == 20
+    # reference-sized filter (p=1e-9, fill ~= 37%) -> well under 20
+    blf = bloom.BloomFilter.for_count(2048)
+    blf.add_many(rand_hashes(__import__("random").Random(7), 2048))
+    k = bloom.adaptive_probe_count(blf.bits)
+    assert 4 <= k < 20
+
+
+def test_probe_exact_reduced_is_superset(rng):
+    """Device prefilter with nprobes<20 must pass every true member
+    (host confirm handles the extra survivors)."""
+    hs = rand_hashes(rng, 64)
+    blf = bloom.BloomFilter.for_count(64)
+    blf.add_many(hs[:48])
+    bits32 = jnp.asarray(blf.as_u32())
+    probe = jax.jit(bloom.probe_exact, static_argnames=("nbits", "nprobes"))
+    full = np.asarray(probe(jnp.asarray(hs), bits32, nbits=blf.nbits,
+                            nprobes=20))
+    red = np.asarray(probe(jnp.asarray(hs), bits32, nbits=blf.nbits,
+                           nprobes=6))
+    assert full[:48].all() and red[:48].all()
+    assert (red | ~full).all()        # reduced is a superset of full

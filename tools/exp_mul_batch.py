@@ -9,6 +9,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE", "/tmp/ecloop_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import numpy as np
     import jax.numpy as jnp
     import random

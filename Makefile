@@ -72,6 +72,6 @@ $(eval $(call PUZZLE,72,800000000000000000:ffffffffffffffffff))
 $(eval $(call PUZZLE,73,1000000000000000000:1ffffffffffffffffff))
 $(eval $(call PUZZLE,74,2000000000000000000:3ffffffffffffffffff))
 $(eval $(call PUZZLE,76,8000000000000000000:fffffffffffffffffff))
-$(eval $(call PUZZLE,77,10000000000000000000:1ffffffffffffffffffff))
-$(eval $(call PUZZLE,78,20000000000000000000:3ffffffffffffffffffff))
-$(eval $(call PUZZLE,79,40000000000000000000:7ffffffffffffffffffff))
+$(eval $(call PUZZLE,77,10000000000000000000:1fffffffffffffffffff))
+$(eval $(call PUZZLE,78,20000000000000000000:3fffffffffffffffffff))
+$(eval $(call PUZZLE,79,40000000000000000000:7fffffffffffffffffff))

@@ -128,8 +128,36 @@ def run_bench() -> int:
 
     plat = jax.devices()[0].platform
     print(f"# device: {plat} x{len(jax.devices())} ~ B={B} R={R}")
+
+    # speed-of-light column: measured / (VPU peak / traced ops-per-elem)
+    # (SURVEY §5; VERDICT r1 #5).  Leaf names map onto bench rows; rows
+    # without a leaf budget (composite/scan kernels) print rate only.
+    from . import sol
+    try:
+        leaf = sol.leaf_budgets()
+        vpu, _ = sol.peaks()
+    except Exception:  # pragma: no cover — never block the bench
+        leaf, vpu = {}, None
+    name_to_leaf = {
+        "fe_modp_mul": "mul_mod",
+        "fe_modp_sqr": "sqr_mod",
+        "ec_affine_add (chord, amortized inv)": "chord_add",
+        "addr33 (hash160 compressed)": "addr33",
+        "addr65 (hash160 uncompressed)": "addr65",
+    }
     for name, mits in rows:
-        print(f"{name:42s}: {mits:10.3f} M it/s")
+        key = name_to_leaf.get(name)
+        if vpu and key in leaf:
+            pct = mits * 1e6 * leaf[key] / vpu
+            print(f"{name:42s}: {mits:10.3f} M it/s  "
+                  f"[{leaf[key]:6.0f} ops/elem ~ {pct:5.1%} of VPU peak]")
+        else:
+            print(f"{name:42s}: {mits:10.3f} M it/s")
+
+    if vpu and os.environ.get("ECLOOP_BENCH_SOL", "1") == "1":
+        from .search.common import SearchConfig
+        print()
+        print(sol.report(SearchConfig(endo=True)))
     return 0
 
 
@@ -141,8 +169,14 @@ def run_bench_gtable() -> int:
     from . import ecc, fe, golden
     from .search.mul import build_gtable, window_indices
 
+    # full reference sweep 8..22 (bench.c:114-141) on TPU; the top
+    # widths are the HBM-interesting ones (a w=22 table is 6.4 GB —
+    # trading gather footprint against window count).  CPU default stays
+    # small: the eager build at w >= 16 takes hours on one core.
+    default_ws = ("8 10 12 14 16 18 20 22"
+                  if jax.default_backend() != "cpu" else "8 10 12 14")
     ws = [int(w) for w in os.environ.get(
-        "ECLOOP_GTABLE_WS", "8 10 12 14 16").split()]
+        "ECLOOP_GTABLE_WS", default_ws).split()]
     B = int(os.environ.get("ECLOOP_BENCH_B", 1024))
     rng = np.random.default_rng(7)
     keys = [int.from_bytes(rng.bytes(32), "little") % golden.N
@@ -154,12 +188,17 @@ def run_bench_gtable() -> int:
         n = 1 << w
         d = (255 // w) + 1
         npoints = d * (n - 1)
+        mem_mb = npoints * 2 * 16 * 4 / 2**20
         t0 = time.perf_counter()
         build_gtable.cache_clear()
-        tx, ty = build_gtable(w, how="device")
-        jax.block_until_ready((tx, ty))
+        try:
+            tx, ty = build_gtable(w, how="device")
+            jax.block_until_ready((tx, ty))
+        except Exception as e:  # noqa: BLE001 — keep sweeping (e.g. OOM)
+            print(f"{w:>3} | {npoints:>10,} | {mem_mb:>6.1f}MB | "
+                  f"build failed: {type(e).__name__}")
+            continue
         build_t = time.perf_counter() - t0
-        mem_mb = npoints * 2 * 16 * 4 / 2**20
 
         idx = jnp.asarray(window_indices(keys, w).T)
 

@@ -256,7 +256,9 @@ def adaptive_probe_count(bits: np.ndarray, target_fp: float = 1e-6) -> int:
     The host confirm absorbs the (rare) extra survivors, so this choice
     affects throughput only, never the found set."""
     nbits = bits.size * 64
-    fill = float(np.bitwise_count(bits).sum()) / max(nbits, 1)
+    # popcount without np.bitwise_count (NumPy >= 2.0 only)
+    ones = int(np.unpackbits(np.ascontiguousarray(bits).view(np.uint8)).sum())
+    fill = ones / max(nbits, 1)
     if fill <= 0.0:
         return 1
     if fill >= 1.0:

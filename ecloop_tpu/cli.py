@@ -33,30 +33,31 @@ from . import __version__
 GROUP_INV_SIZE = 2048  # reference GROUP_INV_SIZE (main.c:17)
 
 USAGE = """\
-Usage: {name} <cmd> [-t <threads>] [-f <file>] [-a <addr_type>] [-r <range>]
-ecloop-tpu v{version} ~ TPU-native key-search engine (JAX/XLA/Pallas)
+ecloop-tpu v{version} ~ TPU-native secp256k1 key-search engine (JAX/XLA/Pallas)
+Usage: {name} <cmd> [-f <file>] [-r <range>] [-t <devices>] [options]
 
-Compute commands:
-  add             - search in given range with batch addition
-  mul             - search hex encoded private keys (from stdin)
-  rnd             - search random range of bits in given range
+Search commands:
+  add             - walk a contiguous key range by batched point addition
+  mul             - multiply private keys read from stdin (windowed gtable)
+  rnd             - repeatedly search random bit-window slices of a range
 
-Compute options:
-  -f <file>       - filter file to search (list of hashes or bloom fitler)
-  -o <file>       - output file to write found keys (default: stdout)
-  -t <threads>    - number of devices to use (default: all)
-  -a <addr_type>  - address type to search: c - addr33, u - addr65 (default: c)
-  -r <range>      - search range in hex format (example: 8000:ffff, default all)
-  -d <offs:size>  - bit offset and size for search (example: 128:32, default: 0:32)
-  -q              - quiet mode (no output to stdout; -o required)
-  -endo           - use endomorphism (default: false)
+Search options:
+  -f <file>       - targets: hex hash160 list, or a .blf bloom filter
+  -o <file>       - append found keys to this file (TSV; default: stdout only)
+  -t <devices>    - how many TPU chips to engage (default: every device)
+  -a <addr_type>  - pubkey form(s) to hash: c = compressed, u = uncompressed
+  -r <start:end>  - hex key range to cover, e.g. 8000:ffff (default: whole curve)
+  -d <offs:size>  - which bit window the search enumerates, e.g. 128:32
+  -q              - suppress stdout hits (requires -o)
+  -endo           - also test the 5 GLV-endomorphism images of every point (6x)
+  -c <file>       - cursor checkpoint: resume an interrupted run (extension)
 
-Other commands:
-  blf-gen         - create bloom filter from list of hex-encoded hash160
-  blf-check       - check bloom filter for given hex-encoded hash160
-  bench           - run benchmark of internal functions
-  bench-gtable    - run benchmark of ecc multiplication (with different table size)
-  mult-verify     - cross-check gtable vs double-and-add multiplication
+Utility commands:
+  blf-gen         - build/extend a .blf bloom filter from hash160 lines on stdin
+  blf-check       - query a .blf filter for the given hash160 values
+  bench           - per-kernel device throughput microbenchmarks
+  bench-gtable    - sweep gtable window widths: build time / memory / mul rate
+  mult-verify     - prove the two scalar-mul paths agree on random scalars
 """
 
 
@@ -385,16 +386,13 @@ def cmd_add(args: Args) -> int:
             # round centers up to a multiple of the device count
             cfg.centers = -(-cfg.centers // ndev) * ndev
             eng = ShardedAddSearch(cfg, filt, mesh)
-            keys = -(-(cfg.range_e - cfg.range_s) // cfg.stride)
-            eng.run_span(
-                (cfg.range_s + start_offset * cfg.stride),
-                keys - start_offset,
-                on_found=status.write_found,
-                on_step=lambda d: on_step(start_offset + d))
         else:
             eng = AddSearch(cfg, filt)
-            eng.run_range(on_found=status.write_found,
-                          start_offset=start_offset, on_step=on_step)
+        # both engines share RangeDriver.run_range: identical claim
+        # planning, coverage rounding and counter accounting regardless
+        # of device count (multi-host consistency, SURVEY.md §4.4)
+        eng.run_range(on_found=status.write_found,
+                      start_offset=start_offset, on_step=on_step)
         if ckpt:
             ckpt.save(force=True)
         status.finish()
@@ -408,7 +406,20 @@ def cmd_mul(args: Args) -> int:
 
     cfg, filt, status, _rng, _ = _search_config(args, "mul")
     raw = args.get_bool("-raw")
-    eng = MulSearch(cfg, filt, raw=raw)
+    ndev = _device_count(args)
+    per_dev_batch = int(os.environ.get("ECLOOP_MUL_BATCH", 2048))
+    if ndev > 1:
+        # shard each job over the mesh: gtable + bloom replicated per
+        # chip, key batch split n ways (the reference's thread pool
+        # pulling 2048-key jobs, main.c:456-576 — chips instead of
+        # threads, so the global job is per-chip batch x n)
+        import jax
+        from .parallel.mesh import ShardedMulSearch, make_mesh
+        mesh = make_mesh(jax.devices()[:ndev])
+        eng = ShardedMulSearch(cfg, filt, mesh, batch=per_dev_batch * ndev,
+                               raw=raw)
+    else:
+        eng = MulSearch(cfg, filt, batch=per_dev_batch, raw=raw)
 
     tty = TtyListener(status)
     _install_sigint(status, tty)
@@ -421,16 +432,20 @@ def cmd_mul(args: Args) -> int:
                 continue
             batch.append(line)
             if len(batch) >= eng.batch:
-                # drain=False keeps one job in flight: the device works
-                # on this job while the host parses the next chunk
+                # drain=False keeps jobs in flight: the device works on
+                # this job while the host parses the next chunk.  The
+                # progress counter reports keys whose results have been
+                # DRAINED (eng.k_checked), not merely submitted — the
+                # reference's ctx_update likewise counts completed work
+                # (main.c:500-535)
                 eng.run_lines(batch, on_found=status.write_found,
                               drain=False)
-                status.update(len(batch))
+                status.update(eng.k_checked - status.k_checked)
                 batch = []
         if batch:
             eng.run_lines(batch, on_found=status.write_found, drain=False)
-            status.update(len(batch))
         eng.flush(on_found=status.write_found)
+        status.update(eng.k_checked - status.k_checked)
         status.finish()
     finally:
         tty.cleanup()
@@ -439,11 +454,41 @@ def cmd_mul(args: Args) -> int:
 
 def cmd_rnd(args: Args) -> int:
     from .search.rnd import RndSearch, format_range_mask
+    from . import checkpoint as ckpt_mod
+    import jax
 
     cfg, filt, status, rng, (offs, size) = _search_config(args, "rnd")
     seed = args.get_str("-seed")
-    eng = RndSearch(cfg, filt, seed=seed, offs=offs, size=size)
+    ndev = _device_count(args)
+    mesh = None
+    if ndev > 1:
+        from .parallel.mesh import make_mesh
+        cfg.centers = -(-cfg.centers // ndev) * ndev
+        mesh = make_mesh(jax.devices()[:ndev])
+    eng = RndSearch(cfg, filt, seed=seed, offs=offs, size=size, mesh=mesh)
     use_color = sys.stdout.isatty()
+    print(f"[random mode] offs: {eng.offs} ~ bits: {eng.size}\n")
+
+    # -c: iteration-count cursor — with -seed the sub-range sequence is
+    # deterministic, so resuming = skipping the first N draws
+    ckpt = None
+    skip_iters = 0
+    cpath = args.get_str("-c")
+    if cpath:
+        key = ckpt_mod.config_key_for("rnd", cfg, args.get_str("-f"),
+                                      seed=seed)
+        ckpt = ckpt_mod.Checkpoint(cpath, key)
+        try:
+            if ckpt.try_resume():
+                skip_iters = ckpt.iters
+                status.k_found = ckpt.k_found
+                print(f"resuming from checkpoint: iteration {skip_iters}")
+                if seed is None:
+                    print("note: unseeded rnd draws fresh ranges; the "
+                          "checkpoint only restores counters",
+                          file=sys.stderr)
+        except ValueError as e:
+            _die(str(e))
 
     tty = TtyListener(status)
     _install_sigint(status, tty)
@@ -453,12 +498,26 @@ def cmd_rnd(args: Args) -> int:
         print(format_range_mask(lo, eng.offs, eng.size, use_color))
         print(format_range_mask(hi, eng.offs, eng.size, use_color))
 
+    last = {"c": 0, "f": 0, "t": time.monotonic()}
+
     def on_iter(i, lo, hi, got):
         status.update(eng.engine.k_checked - status.k_checked)
+        # per-iteration summary: found / checked ~ seconds
+        # (reference cmd_rnd, main.c:653-656)
+        now = time.monotonic()
+        dc = status.k_checked - last["c"]
+        df = status.k_found - last["f"]
+        dt = max(now - last["t"], 1e-3)
+        last.update(c=status.k_checked, f=status.k_found, t=now)
+        sys.stderr.write("\033[2K\r")
+        print(f"{_fmt_n(df)} / {_fmt_n(dc)} ~ {dt:.1f}s\n")
+        if ckpt:
+            ckpt.save(iters=i, k_checked=status.k_checked,
+                      k_found=status.k_found, force=True)
 
     try:
         eng.run(on_found=status.write_found, on_iter=on_iter,
-                on_range=on_range)
+                on_range=on_range, skip_iters=skip_iters)
         status.finish()
     finally:
         tty.cleanup()
@@ -555,6 +614,15 @@ def main(argv: list[str] | None = None) -> int:
         import jax
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    # ECLOOP_PROFILE=<dir>: capture a JAX profiler trace of the whole
+    # command (view with tensorboard / xprof; SURVEY §5 profiling note)
+    prof_dir = os.environ.get("ECLOOP_PROFILE")
+    if prof_dir:
+        import jax
+        jax.profiler.start_trace(prof_dir)
+        import atexit
+        atexit.register(jax.profiler.stop_trace)
 
     # multi-host: join a jax.distributed job when env requests it
     # (ECLOOP_COORDINATOR/ECLOOP_NUM_PROCS/ECLOOP_PROC_ID, or

@@ -40,8 +40,10 @@ from .. import fe, golden
 from ..filters import Filter
 from ..search import common
 from ..search.add import (make_step, points_from_scalars, _cached_table,
-                          _variants, unpack_mask)
+                          _variants, unpack_mask, check_no_degenerate,
+                          RangeDriver)
 from ..search.common import Found, SearchConfig
+from ..search.mul import MulSearch, make_mul_step
 
 N = golden.N
 
@@ -86,13 +88,15 @@ def sharded_step_builder(cfg: SearchConfig, filt: Filter, mesh: Mesh):
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
-class ShardedAddSearch:
+class ShardedAddSearch(RangeDriver):
     """Add-mode search sharded over a device mesh.
 
     Equivalent key coverage to the single-device engine: the global
     center m covers flat keys [t*MK + m*K, t*MK + (m+1)*K) — identical
     layout, so found-set parity is preserved chip-count-independently
     (the reference's multi-host consistency property, SURVEY.md §4.4).
+    run_range (RangeDriver) adds the reference's claim planning and
+    counter accounting on top, shared verbatim with AddSearch.
     """
 
     def __init__(self, cfg: SearchConfig, filt: Filter, mesh: Mesh | None = None,
@@ -140,19 +144,23 @@ class ShardedAddSearch:
                 uniq.append((off, w))
         return uniq
 
-    def run_span(self, base: int, n_keys: int, on_found=None,
-                 on_step=None) -> list[Found]:
+    def run_span(self, base: int, n_keys: int, hit_offsets_valid=None,
+                 on_found=None, on_step=None) -> list[Found]:
+        """Search keys base + i*stride for i in [0, n_keys); same
+        contract as AddSearch.run_span (counter accounting lives in
+        RangeDriver.run_range, which both engines share)."""
         cfg = self.cfg
         mk = cfg.keys_per_step
         h = cfg.group_k // 2
+        steps = -(-n_keys // mk)
+        if steps == 0:
+            return []
+        check_no_degenerate(cfg, base, steps * mk)
         keys = [(base + (m * cfg.group_k + h) * cfg.stride) % N
                 for m in range(cfg.centers)]
         cx, cy = points_from_scalars(keys, self.init_how)
         cx, cy = self._shard_centers(cx, cy)
         found = []
-        steps = -(-n_keys // mk)
-        if steps == 0:
-            return found
         pending = None
         for t0 in range(steps + 1):
             if t0 < steps:
@@ -173,6 +181,9 @@ class ShardedAddSearch:
                         off = t * mk + word_off * 32 + int(j)
                         if off >= n_keys:
                             continue
+                        if (hit_offsets_valid is not None
+                                and not hit_offsets_valid(off)):
+                            continue
                         priv = common.recover_priv(base, off, cfg.stride, e)
                         label = "addr33" if is33 else "addr65"
                         hh = common.derive_h160(priv, is33)
@@ -184,7 +195,48 @@ class ShardedAddSearch:
                         self.k_found += 1
                         if on_found:
                             on_found(f)
-            self.k_checked += mk * (6 if cfg.endo else 1)
             if on_step:
                 on_step(min((t + 1) * mk, n_keys))
         return found
+
+
+def sharded_mul_step_builder(cfg: SearchConfig, filt: Filter, mesh: Mesh,
+                             w: int, batch: int):
+    """Build the multi-chip mul step: the (d, B) window-index batch is
+    sharded over "rng" on its key axis, the gtable / bloom bits are
+    replicated into every chip's HBM, and each chip multiplies+hashes
+    its own B/n keys — the TPU form of the reference's worker pool
+    pulling 2048-key jobs from a shared queue (cmd_mul_worker,
+    main.c:456-576: same math per key, chips instead of threads)."""
+    n = mesh.devices.size
+    if batch % (n * 32):
+        raise ValueError(f"mul batch ({batch}) must divide over {n} "
+                         f"devices into 32-aligned shards")
+    raw_step = make_mul_step(cfg, filt, w, batch // n)
+    sharded = shard_map(
+        raw_step, mesh=mesh,
+        in_specs=(P(None, "rng"), P(), P(), P()),
+        out_specs=P(None, "rng"),
+        check_rep=False)
+    from ..search.add import _use_jit
+    if not _use_jit():
+        return sharded
+    return jax.jit(sharded)
+
+
+class ShardedMulSearch(MulSearch):
+    """Mul-mode engine sharded over a device mesh.
+
+    Same public API and found-set as the single-device MulSearch: jobs
+    of `batch` keys split over the mesh (key j lives on device
+    j // (batch/n)), so results are chip-count independent.  `batch`
+    here is the GLOBAL job size; size it at per_device_batch * n_devices
+    to keep each chip's shard at the single-chip sweet spot."""
+
+    def __init__(self, cfg: SearchConfig, filt: Filter,
+                 mesh: Mesh | None = None, w: int = 14, batch: int = 2048,
+                 raw: bool = False, init: str = "auto"):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        super().__init__(cfg, filt, w=w, batch=batch, raw=raw, init=init)
+        self.step_fn = sharded_mul_step_builder(cfg, filt, self.mesh, w,
+                                                batch)

@@ -284,7 +284,88 @@ def _cached_table(stride: int, k: int, mk: int, how: str = "auto"):
     return ax[:-1], ay[:-1], ax[-1], ay[-1]
 
 
-class AddSearch:
+def check_no_degenerate(cfg: SearchConfig, base: int, n_keys: int) -> None:
+    """The chord kernel assumes P != +-Q.  A center key c collides
+    exactly when c = +-(i - K/2)*s (a table point) or c = +-M*K*s
+    (the advance point) mod N.  Center keys are base + k*s for a
+    known set of offsets k, so membership is an exact O(K) host
+    check — the reference instead enforces range_s > GROUP
+    (main.c:687-690); this is the precise version of that guard.
+    Shared by the single-device and sharded engines (both use the same
+    key->lane layout, so the degenerate set is identical)."""
+    s = cfg.stride
+    k_ = cfg.group_k
+    mk = cfg.keys_per_step
+    s_inv = pow(s, -1, N)
+    # all degenerate scalar values (+- covered by symmetric j range)
+    bad = {(j * s) % N for j in range(-(k_ // 2), k_ // 2 + 1)}
+    bad |= {(mk * s) % N, (-mk * s) % N}
+    # only *center* keys take part in chord additions; centers sit at
+    # flat offsets k with k % K == K/2, conservatively over the
+    # step-rounded span
+    span = -(-n_keys // mk) * mk
+    for v in bad:
+        k = ((v - base) * s_inv) % N
+        if k < span and k % k_ == k_ // 2:
+            raise ValueError(
+                f"invalid search range: key {v:#x} inside the span "
+                f"collides with the batch geometry (K={k_}, M="
+                f"{cfg.centers}, stride=2^{cfg.stride_offs}); shift "
+                f"the range start or change geometry")
+
+
+class RangeDriver:
+    """Full reference `add` semantics over [range_s, range_e): claim
+    planning, coverage rounding, counter accounting (cmd_add /
+    cmd_add_worker, main.c:405-454).  Mixin shared by the single-device
+    and the sharded engines so k_checked and the found set are
+    chip-count independent; subclasses provide run_span()."""
+
+    cfg: SearchConfig
+    k_checked: int
+
+    def run_span(self, base, n_keys, hit_offsets_valid=None, on_found=None,
+                 on_step=None):
+        raise NotImplementedError
+
+    def run_range(self, on_found=None, on_progress=None, start_offset: int = 0,
+                  on_step=None) -> list[Found]:
+        """start_offset: resume cursor — skip the first `start_offset`
+        keys (checkpoint.py); on_step(abs_keys_done) reports cumulative
+        progress in absolute key offsets from range_s."""
+        cfg = self.cfg
+        job = cfg.job_size or common.derive_job_size(cfg.range_s, cfg.range_e)
+        claims = list(common.plan_claims(cfg.range_s, cfg.range_e, job,
+                                         cfg.stride))
+        if not claims:
+            return []
+        # contiguous claims -> one span; coverage windows may overlap
+        span_keys = 0
+        windows = []
+        for c in claims:
+            off = (c.start - cfg.range_s) // cfg.stride
+            windows.append((off, off + c.coverage))
+            span_keys = max(span_keys, off + c.coverage)
+            self.k_checked += c.job * (6 if cfg.endo else 1)
+
+        if start_offset >= span_keys:
+            return []
+
+        def valid(off):
+            return any(a <= off + start_offset < b for a, b in windows)
+
+        found = self.run_span(
+            (cfg.range_s + start_offset * cfg.stride) % common.N,
+            span_keys - start_offset, hit_offsets_valid=valid,
+            on_found=on_found,
+            on_step=(lambda done: on_step(start_offset + done))
+            if on_step else None)
+        if on_progress:
+            on_progress(self.k_checked)
+        return found
+
+
+class AddSearch(RangeDriver):
     """Single-device add-mode engine over one contiguous key span.
 
     Multi-chip scaling shards *spans* across devices (parallel/mesh.py);
@@ -303,35 +384,6 @@ class AddSearch:
         self.bits = jnp.asarray(filt.device_bits)
         self.k_checked = 0
         self.k_found = 0
-
-    def _check_no_degenerate(self, base: int, n_keys: int) -> None:
-        """The chord kernel assumes P != +-Q.  A center key c collides
-        exactly when c = +-(i - K/2)*s (a table point) or c = +-M*K*s
-        (the advance point) mod N.  Center keys are base + k*s for a
-        known set of offsets k, so membership is an exact O(K) host
-        check — the reference instead enforces range_s > GROUP
-        (main.c:687-690); this is the precise version of that guard."""
-        cfg = self.cfg
-        s = cfg.stride
-        k_ = cfg.group_k
-        mk = cfg.keys_per_step
-        s_inv = pow(s, -1, N)
-        # all degenerate scalar values (+- covered by symmetric j range)
-        bad = {(j * s) % N for j in range(-(k_ // 2), k_ // 2 + 1)}
-        bad |= {(mk * s) % N, (-mk * s) % N}
-        # center keys live at offsets {m*K + K/2 + t*MK}; conservatively
-        # test every offset in the (step-rounded) span
-        # only *center* keys take part in chord additions; centers sit at
-        # flat offsets k with k % K == K/2
-        span = -(-n_keys // mk) * mk
-        for v in bad:
-            k = ((v - base) * s_inv) % N
-            if k < span and k % k_ == k_ // 2:
-                raise ValueError(
-                    f"invalid search range: key {v:#x} inside the span "
-                    f"collides with the batch geometry (K={k_}, M="
-                    f"{cfg.centers}, stride=2^{cfg.stride_offs}); shift "
-                    f"the range start or change geometry")
 
     def _init_centers(self, base: int):
         cfg = self.cfg
@@ -353,7 +405,7 @@ class AddSearch:
         mk = cfg.keys_per_step
         t_ = max(1, cfg.steps_per_call)
         calls = -(-(-(-n_keys // mk)) // t_)
-        self._check_no_degenerate(base, calls * t_ * mk)
+        check_no_degenerate(cfg, base, calls * t_ * mk)
         cx, cy = self._init_centers(base)
         found = []
         pending = None          # (first step idx, device masks) unfetched
@@ -415,43 +467,3 @@ class AddSearch:
                 if on_found:
                     on_found(f)
         return out
-
-    def run_range(self, on_found=None, on_progress=None, start_offset: int = 0,
-                  on_step=None) -> list[Found]:
-        """Full reference `add` semantics over [range_s, range_e):
-        claim planning, coverage rounding, counter accounting.
-
-        start_offset: resume cursor — skip the first `start_offset` keys
-        (checkpoint.py); on_step(abs_keys_done) reports cumulative
-        progress in absolute key offsets from range_s.
-        """
-        cfg = self.cfg
-        job = cfg.job_size or common.derive_job_size(cfg.range_s, cfg.range_e)
-        claims = list(common.plan_claims(cfg.range_s, cfg.range_e, job,
-                                         cfg.stride))
-        if not claims:
-            return []
-        # contiguous claims -> one span; coverage windows may overlap
-        span_keys = 0
-        windows = []
-        for c in claims:
-            off = (c.start - cfg.range_s) // cfg.stride
-            windows.append((off, off + c.coverage))
-            span_keys = max(span_keys, off + c.coverage)
-            self.k_checked += c.job * (6 if cfg.endo else 1)
-
-        if start_offset >= span_keys:
-            return []
-
-        def valid(off):
-            return any(a <= off + start_offset < b for a, b in windows)
-
-        found = self.run_span(
-            (cfg.range_s + start_offset * cfg.stride) % common.N,
-            span_keys - start_offset, hit_offsets_valid=valid,
-            on_found=on_found,
-            on_step=(lambda done: on_step(start_offset + done))
-            if on_step else None)
-        if on_progress:
-            on_progress(self.k_checked)
-        return found

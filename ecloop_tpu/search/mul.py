@@ -68,12 +68,15 @@ def build_gtable(w: int = 14, lanes: int = 1024, how: str = "auto"):
     index = (2^w - 1) * window + (digit - 1).
 
     Device build is 3 fixed-shape jit graphs (TPU-friendly, no
-    shape-polymorphic recompiles):
+    shape-polymorphic recompiles), executed row-by-row so peak HBM is
+    one projective row + the growing affine table (a w=22 table is
+    6.4 GB — materializing all rows' projective intermediates at once,
+    as a lax.scan over rows would, OOMs at w >= 18):
       1. row 0 (j*G for j in 1..2^w-1) = one batched affine add over the
          outer sum of two host-built seed tables j = a + b*2^(w/2),
-      2. rows 1..d-1 = lax.scan of w projective doublings per row
-         (row i = 2^w * row i-1),
-      3. one chunked batch reduction to affine.
+      2. row i = 2^w * row i-1: one jitted w-fold projective doubling
+         graph per row,
+      3. one chunked batch reduction to affine per row.
 
     The finished table is cached on disk (it is a pure function of w):
     a warm start is one 80 MB load instead of minutes of build graphs.
@@ -119,24 +122,25 @@ def build_gtable(w: int = 14, lanes: int = 1024, how: str = "auto"):
     r0x = jnp.concatenate([t1x, sx], axis=0)[:n - 1]   # j = 1 .. n-1
     r0y = jnp.concatenate([t1y, sy], axis=0)[:n - 1]
 
-    # --- 2. rows 1..d-1: scale by 2^w per row --------------------------
-    def scale_row(carry, _):
-        x, y, z = carry
+    # --- 2+3. per row: scale by 2^w, reduce to affine ------------------
+    @jax.jit
+    def scale_row(x, y, z):
         for _ in range(w):
             x, y, z = ecc.proj_dbl(x, y, z)
-        return (x, y, z), (x, y, z)
+        return x, y, z
 
-    p0 = ecc.proj_from_affine(r0x, r0y)
-    _, (rx, ry, rz) = jax.jit(
-        lambda p: jax.lax.scan(scale_row, p, None, length=d - 1))(p0)
-
-    # --- 3. flatten + one chunked batch reduction ----------------------
-    one = jnp.broadcast_to(jnp.asarray(fe.ONE), r0x.shape)
-    allx = jnp.concatenate([r0x[None], rx], axis=0).reshape(-1, 16)
-    ally = jnp.concatenate([r0y[None], ry], axis=0).reshape(-1, 16)
-    allz = jnp.concatenate([one[None], rz], axis=0).reshape(-1, 16)
     rdc = jax.jit(ecc.proj_to_affine, static_argnames="lanes")
-    tx, ty = rdc(allx, ally, allz, lanes=lanes)
+    lanes_r = min(lanes, n - 1)
+    rows_x, rows_y = [r0x], [r0y]
+    x, y = r0x, r0y
+    z = jnp.broadcast_to(jnp.asarray(fe.ONE), r0x.shape)
+    for _ in range(d - 1):
+        x, y, z = scale_row(x, y, z)
+        ax, ay = rdc(x, y, z, lanes=lanes_r)
+        rows_x.append(ax)
+        rows_y.append(ay)
+    tx = jnp.concatenate(rows_x, axis=0)
+    ty = jnp.concatenate(rows_y, axis=0)
     _gtable_cache_save(cache, np.asarray(tx), np.asarray(ty))
     return jax.device_put(tx), jax.device_put(ty)
 
@@ -186,8 +190,10 @@ def parse_keys(lines: list[str], raw: bool) -> list[int]:
     return [int(ln, 16) % N for ln in lines]
 
 
-def build_mul_step(cfg: SearchConfig, filt: Filter, w: int, batch: int):
-    """Jitted: (idx (d, B), tx, ty, bits) -> masks (V, B/32).
+def make_mul_step(cfg: SearchConfig, filt: Filter, w: int, batch: int):
+    """Raw (unjitted) mul step: (idx (d, B), tx, ty, bits) -> masks
+    (V, B/32).  Exposed unjitted so parallel/mesh.py can wrap it in
+    shard_map; single-device users take build_mul_step below.
 
     Limb-first accumulation: the per-window gather stays on the
     (N, 16) table (one gather per coordinate), then converts to fel
@@ -264,7 +270,14 @@ def build_mul_step(cfg: SearchConfig, filt: Filter, w: int, batch: int):
             masks.append(_pack_mask(filt.device_probe(h65f(ax, ay))))
         return jnp.stack(masks, axis=0)
 
-    return jax.jit(step) if use_jit else step
+    return step
+
+
+def build_mul_step(cfg: SearchConfig, filt: Filter, w: int, batch: int):
+    """Single-device jitted mul step (see make_mul_step)."""
+    from .add import _use_jit
+    step = make_mul_step(cfg, filt, w, batch)
+    return jax.jit(step) if _use_jit() else step
 
 
 class MulSearch:

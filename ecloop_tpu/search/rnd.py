@@ -120,26 +120,46 @@ def format_range_mask(value: int, offs: int, size: int,
 
 
 class RndSearch:
-    """Randomized-window search driver (reference cmd_rnd)."""
+    """Randomized-window search driver (reference cmd_rnd).
+
+    Multi-chip: pass a mesh and every random sub-range is searched by
+    the full ShardedAddSearch machinery — the TPU analog of the
+    reference spawning its whole worker pool per sub-range
+    (main.c:645-651)."""
 
     def __init__(self, cfg: SearchConfig, filt: Filter,
                  seed: str | None = None, offs: int | None = None,
-                 size: int | None = None):
+                 size: int | None = None, mesh=None):
         self.cfg = cfg
         self.filt = filt
         self.rng = Rng(seed)
         self.offs, self.size = default_offs_size(
             cfg.range_e, offs, size, self.rng, is_rnd=True)
         self.offs = min(self.offs, 255 - self.size)   # main.c:620
-        self.engine = AddSearch(cfg, filt)
+        if mesh is not None:
+            from ..parallel.mesh import ShardedAddSearch
+            self.engine = ShardedAddSearch(cfg, filt, mesh)
+        else:
+            self.engine = AddSearch(cfg, filt)
 
     def run(self, max_iters: int | None = None, on_found=None,
-            on_iter=None, on_range=None) -> list[Found]:
+            on_iter=None, on_range=None, skip_iters: int = 0) -> list[Found]:
+        """skip_iters: draw (and discard) the first N sub-ranges without
+        searching them — the checkpoint-resume cursor for seeded runs
+        (the RNG sequence is deterministic, so position = iteration
+        count).  on_iter(i, lo, hi, got) fires after each searched
+        sub-range with the cumulative iteration number."""
         found = []
         iters = 0
         while True:
             lo, hi = gen_random_range(self.rng, self.cfg.range_s,
                                       self.cfg.range_e, self.offs, self.size)
+            is_full = (lo == self.cfg.range_s and hi == self.cfg.range_e)
+            if iters < skip_iters:
+                iters += 1
+                if is_full:
+                    return found   # single-pass search already completed
+                continue
             if on_range:
                 on_range(lo, hi)   # mask print happens BEFORE the search
             sub = SearchConfig(**{**self.cfg.__dict__,
@@ -150,6 +170,5 @@ class RndSearch:
             iters += 1
             if on_iter:
                 on_iter(iters, lo, hi, got)
-            is_full = (lo == self.cfg.range_s and hi == self.cfg.range_e)
             if is_full or (max_iters is not None and iters >= max_iters):
                 return found

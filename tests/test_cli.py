@@ -134,3 +134,79 @@ def test_to_hash_tool():
         "bc1qw508d6qejxtdg4y5r3zarvary0c5xw7kv8f3t4")
         == "751e76e8199196d454941c45d1b3a323f1433bd6")
     assert to_hash.addr_to_hash160("notanaddress") is None
+
+
+def _write_filter(tmp_path, keys, compressed=True):
+    lines = []
+    for k in keys:
+        pt = golden.point_mul(k)
+        h = golden.addr33(pt) if compressed else golden.addr65(pt)
+        lines.append(h.hex())
+    p = tmp_path / "targets.txt"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_cmd_add_end_to_end_multidevice(tmp_path, monkeypatch):
+    """Full `add` CLI path on the virtual mesh: -t 2 must shard and find
+    the same keys as the reference semantics dictate."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    monkeypatch.setenv("ECLOOP_CENTERS", "4")
+    monkeypatch.setenv("ECLOOP_GROUP_K", "64")
+    monkeypatch.setenv("ECLOOP_LANES", "64")
+    monkeypatch.setenv("ECLOOP_STEPS_PER_CALL", "1")
+    targets = [0x10007, 0x10123]
+    filt_path = _write_filter(tmp_path, targets)
+    out = tmp_path / "found.txt"
+    rc, _ = run_cli(["add", "-f", filt_path, "-r", "10000:10400",
+                     "-t", "2", "-q", "-o", str(out)])
+    assert rc == 0
+    privs = sorted(int(ln.split("\t")[2], 16)
+                   for ln in out.read_text().splitlines())
+    assert privs == sorted(targets)
+
+
+def test_cmd_mul_end_to_end_multidevice(tmp_path, monkeypatch):
+    """Full `mul` CLI path with -t 2: jobs shard over the mesh
+    (VERDICT r1 #2) and progress counts drained keys."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    monkeypatch.setenv("ECLOOP_CENTERS", "4")
+    monkeypatch.setenv("ECLOOP_GROUP_K", "64")
+    monkeypatch.setenv("ECLOOP_LANES", "64")
+    monkeypatch.setenv("ECLOOP_MUL_BATCH", "32")
+    keys = [3, 0xDEADBEEF, 0x12345]
+    filt_path = _write_filter(tmp_path, keys)
+    out = tmp_path / "found.txt"
+    stdin = "\n".join(f"{k:064x}" for k in keys + [0x999]) + "\n"
+    rc, _ = run_cli(["mul", "-f", filt_path, "-t", "2", "-q",
+                     "-o", str(out)], stdin=stdin)
+    assert rc == 0
+    privs = sorted(int(ln.split("\t")[2], 16)
+                   for ln in out.read_text().splitlines())
+    assert privs == sorted(keys)
+
+
+def test_cmd_rnd_prints_iteration_summary(tmp_path, monkeypatch, capsys):
+    """rnd prints the per-iteration `found / checked ~ secs` line
+    (reference main.c:653-656) and the random-mode banner."""
+    monkeypatch.setenv("ECLOOP_CENTERS", "4")
+    monkeypatch.setenv("ECLOOP_GROUP_K", "64")
+    monkeypatch.setenv("ECLOOP_LANES", "64")
+    monkeypatch.setenv("ECLOOP_STEPS_PER_CALL", "1")
+    target = 0x10111
+    filt_path = _write_filter(tmp_path, [target])
+    out = tmp_path / "found.txt"
+    # 2^20-bit window over a 2^10 range: first draw clamps to the full
+    # range -> exactly one iteration, then exits
+    rc, stdout = run_cli(["rnd", "-f", filt_path, "-r", "10000:10400",
+                          "-d", "0:20", "-seed", "s", "-t", "1",
+                          "-q", "-o", str(out)])
+    assert rc == 0
+    assert "[random mode] offs: 0 ~ bits: 20" in stdout
+    import re
+    assert re.search(r"\d[\d,]* / \d[\d,]* ~ \d+\.\ds", stdout)
+    assert f"{target:064x}" in out.read_text()

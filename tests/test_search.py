@@ -255,3 +255,91 @@ def test_gtable_host_build_and_disk_cache(tmp_path, monkeypatch):
     tx2, _ = mulmod.build_gtable(w=4, how="auto")  # loads from disk
     assert np.array_equal(np.asarray(tx), np.asarray(tx2))
     mulmod.build_gtable.cache_clear()
+
+
+def test_sharded_run_range_counter_and_found_parity():
+    """run_range (claim planning + counter accounting) is shared by the
+    single-device and sharded engines: identical k_checked AND found set
+    on a range that is NOT a multiple of keys_per_step (VERDICT r1 #4;
+    reference cmd_add_worker accounting, main.c:405-435)."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    from ecloop_tpu.parallel.mesh import ShardedAddSearch, make_mesh
+
+    # range of 0x2A7 keys: not step-aligned (keys_per_step = 8*32 = 256)
+    targets = [0x70000 + 5, 0x70000 + 0x2A0]
+    filt = _filter_for(targets)
+    cfg = SearchConfig(range_s=0x70000, range_e=0x70000 + 0x2A7,
+                       addr33=True, centers=8, group_k=32, lanes=32)
+
+    single = AddSearch(cfg, filt, init="host")
+    f1 = {(f.label, f.priv) for f in single.run_range()}
+
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = ShardedAddSearch(cfg, filt, mesh, init="host")
+    f2 = {(f.label, f.priv) for f in sharded.run_range()}
+
+    assert f1 == f2 == {("addr33", t) for t in targets}
+    assert single.k_checked == sharded.k_checked == 0x2A7
+
+
+def test_sharded_degenerate_guard():
+    """The sharded engine must reject geometry-colliding ranges exactly
+    like the single-device one (ADVICE r1 medium finding)."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    from ecloop_tpu.parallel.mesh import ShardedAddSearch, make_mesh
+    from ecloop_tpu.search.add import check_no_degenerate
+
+    cfg = SearchConfig(range_s=0x10, range_e=0x500, addr33=True,
+                       centers=8, group_k=32, lanes=32)
+    # base 0x10: center offset K/2=16 -> center key 0x10+16=0x20 ... the
+    # degenerate set contains j*s for j<=K/2=16; pick base so a center
+    # key lands exactly on a table scalar: base = 0 -> center = 16 = j*1
+    with pytest.raises(ValueError):
+        check_no_degenerate(cfg, 0, 0x100)
+    mesh = make_mesh(jax.devices()[:8])
+    eng = ShardedAddSearch(cfg, filt := _filter_for([0x123]), mesh,
+                           init="host")
+    with pytest.raises(ValueError):
+        eng.run_span(0, 0x100)
+
+
+def test_sharded_mul_parity_with_single_device():
+    """Mul mode sharded over the mesh: same found set as single device
+    (VERDICT r1 #2; reference cmd_mul_worker, main.c:456-576)."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    from ecloop_tpu.parallel.mesh import ShardedMulSearch, make_mesh
+
+    keys = [3, 0xDEADBEEF, 0x123456789ABCDEF, golden.N - 5]
+    filt = _filter_for(keys)
+    probe = keys + [0x999, 0x777, 0xABC]
+
+    cfg = SearchConfig(addr33=True, **TINY)
+    single = MulSearch(cfg, filt, w=8, batch=32, init="host")
+    f1 = {(f.label, f.priv) for f in single.run_keys(probe)}
+
+    # batch must split into 32-aligned per-device shards: 8 x 32 = 256
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = ShardedMulSearch(cfg, filt, mesh, w=8, batch=256, init="host")
+    f2 = {(f.label, f.priv) for f in sharded.run_keys(probe)}
+    assert f1 == f2 == {("addr33", k) for k in keys}
+    assert single.k_checked == sharded.k_checked == len(probe)
+
+
+def test_rnd_skip_iters_resume():
+    """Seeded rnd resumed at iteration N draws the same sub-range
+    sequence as an uninterrupted run (checkpoint cursor semantics)."""
+    lo_hi = []
+    r = Rng("resume-seed")
+    for _ in range(6):
+        lo_hi.append(gen_random_range(r, 0x100000, 0x1FFFFF, 0, 20))
+    # a fresh RNG skipping 3 draws must land on draw #4
+    r2 = Rng("resume-seed")
+    for _ in range(3):
+        gen_random_range(r2, 0x100000, 0x1FFFFF, 0, 20)
+    assert gen_random_range(r2, 0x100000, 0x1FFFFF, 0, 20) == lo_hi[3]

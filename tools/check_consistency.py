@@ -67,7 +67,43 @@ def main() -> int:
             if v != expect:
                 print(f"MISMATCH in {name}: {v} != {expect}")
         return 1
-    print("OK: identical found-set across all configs")
+    print("OK: identical add-mode found-set across all configs")
+
+    # --- mul mode: single-device vs sharded over the mesh ---------------
+    from ecloop_tpu.search.mul import MulSearch
+    from ecloop_tpu.parallel.mesh import ShardedMulSearch
+
+    mkeys = [3, 0xDEADBEEF, 0x123456789ABCDEF, golden.N - 5]
+    mrows = [np.frombuffer(golden.addr33(golden.point_mul(k)),
+                           dtype=">u4").astype(np.uint32) for k in mkeys]
+    mfilt = filters.filter_from_hashes(np.stack(mrows))
+    probe = mkeys + [0x999, 0x777, 0xABCDEF]
+
+    mul_configs = [("1dev", None, 32), ("2dev", 2, 64), ("8dev", 8, 256)]
+    if "--quick" in sys.argv:
+        mul_configs = mul_configs[:1]
+    mres = {}
+    for name, ndev, batch in mul_configs:
+        cfg = SearchConfig(addr33=True, centers=4, group_k=64, lanes=64)
+        if ndev is None:
+            eng = MulSearch(cfg, mfilt, w=8, batch=batch, init="host")
+        else:
+            mesh = make_mesh(jax.devices()[:ndev])
+            eng = ShardedMulSearch(cfg, mfilt, mesh, w=8, batch=batch,
+                                   init="host")
+        found = eng.run_keys(probe)
+        mres[name] = sorted((f.label, f.priv) for f in found)
+        print(f"mul {name:8s}: {len(found)} found, "
+              f"k_checked {eng.k_checked}")
+
+    mexpect = sorted(("addr33", k) for k in mkeys)
+    ok = all(v == mexpect for v in mres.values())
+    if not ok:
+        for name, v in mres.items():
+            if v != mexpect:
+                print(f"MISMATCH in mul {name}: {v} != {mexpect}")
+        return 1
+    print("OK: identical mul-mode found-set across all configs")
     return 0
 
 

@@ -33,9 +33,12 @@ import time
 
 BASELINE_KEYS_PER_SEC = 10.73e6
 T0 = time.monotonic()
+LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_LAST_GOOD.json")
 
 _best = None          # (rate, metric_label)
 _printed = False
+_raw_runs = []        # provenance for BENCH_LAST_GOOD.json
 
 
 def _note(msg: str) -> None:
@@ -98,11 +101,17 @@ def _device_up_check(budget: float) -> bool:
     probe = ("import jax; d = jax.devices(); "
              "print(d[0].platform, d[0].device_kind)")
     attempt = 0
-    while time.monotonic() - T0 < budget * 0.6:
+    # probe until ~0.9x budget: a tunnel that comes up late is still a
+    # capturable number (stage A alone completes in well under 0.1x)
+    while True:
+        left = budget * 0.9 - (time.monotonic() - T0)
+        if left <= 5:
+            return False
         attempt += 1
         try:
             r = subprocess.run([sys.executable, "-c", probe],
-                               capture_output=True, text=True, timeout=240)
+                               capture_output=True, text=True,
+                               timeout=min(240, max(30, left)))
             if r.returncode == 0:
                 _note(f"device probe ok: {r.stdout.strip().splitlines()[-1]}")
                 return True
@@ -110,7 +119,43 @@ def _device_up_check(budget: float) -> bool:
         except subprocess.TimeoutExpired:
             _note(f"device probe attempt {attempt} timed out (tunnel down?)")
         time.sleep(15)
-    return False
+
+
+def _save_last_good(meta: dict) -> None:
+    """Persist the freshest live TPU measurement with full provenance —
+    the committed artifact lets a later device-less capture window emit
+    a provenance-carrying stale number instead of rc=2 (VERDICT r2 #1)."""
+    try:
+        with open(LAST_GOOD_PATH, "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+            f.write("\n")
+        _note(f"last-good artifact updated: {LAST_GOOD_PATH}")
+    except OSError as e:
+        _note(f"could not write last-good artifact: {e}")
+
+
+def _emit_stale() -> bool:
+    """No live device: re-emit the committed last-good measurement,
+    clearly marked stale.  Returns True when something was printed."""
+    global _best, _printed
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            lg = json.load(f)
+    except (OSError, ValueError):
+        return False
+    rate = float(lg["value"])
+    _note(f"emitting last-good measurement from {lg.get('timestamp')} "
+          f"({lg.get('device_kind')}) marked stale")
+    _printed = True
+    print(json.dumps({
+        "metric": lg["metric"],
+        "value": round(rate),
+        "unit": lg.get("unit", "keys/s"),
+        "vs_baseline": round(rate / BASELINE_KEYS_PER_SEC, 3),
+        "stale": True,
+        "measured_at": lg.get("timestamp"),
+    }), flush=True)
+    return True
 
 
 def main() -> int:
@@ -121,7 +166,10 @@ def main() -> int:
     budget = float(os.environ.get("ECLOOP_BENCH_BUDGET_S", 1500))
     if (not os.environ.get("ECLOOP_BENCH_CPU")
             and not _device_up_check(budget)):
-        _note("no device within budget; aborting without a measurement")
+        if _emit_stale():
+            return 0
+        _note("no device within budget and no last-good artifact; "
+              "aborting without a measurement")
         return 2
     import jax
 
@@ -153,8 +201,30 @@ def main() -> int:
         "ECLOOP_BENCH_FILTER",
         os.path.join(os.path.dirname(__file__), "data", "btc-puzzles-hash")))
     dev = jax.devices()[0].platform
-    _note(f"device: {dev}, budget {budget:.0f}s, geometry "
+    dev_kind = getattr(jax.devices()[0], "device_kind", dev)
+    _note(f"device: {dev} ({dev_kind}), budget {budget:.0f}s, geometry "
           f"{centers}x{group_k}, endo={int(endo)}")
+
+    def record_run(stage, rate, compile_s, dt, steps_n, spc, kps, mult_n):
+        _raw_runs.append({
+            "stage": stage, "rate_keys_per_s": round(rate),
+            "compile_s": round(compile_s, 2), "measure_s": round(dt, 3),
+            "steps": steps_n, "steps_per_call": spc, "keys_per_step": kps,
+            "checked_mult": mult_n,
+        })
+        if dev != "cpu" and _best is not None:
+            _save_last_good({
+                "metric": _best[1], "value": round(_best[0]),
+                "unit": "keys/s",
+                "vs_baseline": round(_best[0] / BASELINE_KEYS_PER_SEC, 3),
+                "device_platform": dev, "device_kind": dev_kind,
+                "geometry": {"centers": centers, "group_k": group_k,
+                             "lanes": lanes, "endo": int(endo)},
+                "jax_version": jax.__version__,
+                "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                           time.gmtime()),
+                "runs": _raw_runs,
+            })
 
     def cfg_for(spc: int, use_endo: bool) -> SearchConfig:
         return SearchConfig(range_s=0x100000000, range_e=0x200000000,
@@ -177,6 +247,8 @@ def main() -> int:
     _best = (rate, label_for(endo))
     _note(f"stage A: {rate / 1e6:.1f} Mkeys/s (compile {compile_s:.1f}s, "
           f"measure {dt:.1f}s)")
+    record_run("A", rate, compile_s, dt, min(steps, 8), 1,
+               cfg.keys_per_step, mult)
 
     # longer re-measure for accuracy if the quick one was very short
     if dt < 5.0:
@@ -186,6 +258,7 @@ def main() -> int:
         _best = max(_best, (rate, label_for(endo)))
         _note(f"stage A long: {rate / 1e6:.1f} Mkeys/s over {more} steps "
               f"({dt:.1f}s)")
+        record_run("A-long", rate, 0.0, dt, more, 1, cfg.keys_per_step, mult)
 
     if os.environ.get("ECLOOP_BENCH_QUICK"):
         _emit()
@@ -208,6 +281,8 @@ def main() -> int:
             _note(f"stage B: {rate8 / 1e6:.1f} Mkeys/s "
                   f"(compile {c8:.1f}s, measure {dt8:.1f}s)")
             _best = max(_best, (rate8, label_for(endo)))
+            record_run("B", rate8, c8, dt8, max(4, steps // prod_spc),
+                       prod_spc, cfg8.keys_per_step, mult)
 
         # like-for-like non-endo number for the report (stderr only;
         # the reference's 10.73 M baseline is a plain add run)
@@ -220,6 +295,9 @@ def main() -> int:
             _note(f"non-endo: {raten / 1e6:.1f} Mkeys/s = "
                   f"{raten / BASELINE_KEYS_PER_SEC:.1f}x baseline "
                   f"(like-for-like vs reference 10.73M)")
+            record_run("B2-nonendo", raten, cn, dtn,
+                       max(4, steps // prod_spc), prod_spc,
+                       cfgn.keys_per_step, 1)
     except Exception as e:  # noqa: BLE001 — never lose the stage-A number
         _note(f"refinement failed ({type(e).__name__}: {e}); "
               f"keeping stage-A result")

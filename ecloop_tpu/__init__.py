@@ -13,15 +13,34 @@ scalar-range sharding over `jax.sharding.Mesh` for multi-chip scale.
 
 __version__ = "0.1.0"
 
-import os as _os
 
-if _os.environ.get("ECLOOP_JAX_CACHE", "1") == "1":
-    # persistent XLA compile cache: the field/hash graphs are large
-    # (hundreds of fused modmuls) and host compile is the dominant cold
-    # cost — cache them across processes/runs.
-    import jax as _jax
+def enable_compile_cache(cache_dir: str | None = None) -> bool:
+    """Turn on the persistent XLA compile cache — TPU only.
 
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get("JAX_CACHE", "/tmp/ecloop_jax_cache"))
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    The search-step graphs are large (hundreds of fused modmuls) and
+    compiles are the dominant cold cost on device, so CLI/bench entry
+    points call this once the backend choice is known.  Deliberately
+    NOT done at import time and NOT on CPU: reloading disk-cached
+    XLA:CPU AOT executables trips machine-feature mismatch checks
+    (+prefer-no-gather etc.) and intermittently segfaults, and probing
+    the backend at import time can hang when the device tunnel is down.
+    Returns True when the cache was enabled.
+    """
+    import os
+
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get("ECLOOP_CACHE_DIR",
+                                   "/tmp/ecloop_jax_cache")
+    if not cache_dir:
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    if backend == "cpu":
+        return False
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return True

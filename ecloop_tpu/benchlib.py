@@ -65,17 +65,31 @@ def run_bench() -> int:
 
     rows = []
 
-    def bench(name, fn, args, per_call):
+    def bench(name, fn, args, per_call, trace=None):
+        """trace=(fn1, args1): single-iteration form of the SAME kernel
+        being measured — traced for its ops/elem budget so the
+        %-of-peak column's numerator and denominator describe one
+        implementation (ADVICE r2: dividing the padded/scan fe kernels
+        by the unrolled fel budgets skewed the utilization)."""
         t0 = time.perf_counter()
         r = _rate(fn, *args)
-        rows.append((name, r * R * per_call / 1e6))
+        ops = None
+        if trace is not None:
+            from . import sol
+            try:
+                ops = sol.ops_per_element(trace[0], *trace[1],
+                                          elems=per_call)
+            except Exception:  # pragma: no cover — never block the bench
+                ops = None
+        rows.append((name, r * R * per_call / 1e6, ops))
         if os.environ.get("ECLOOP_BENCH_VERBOSE"):
             print(f"  [{name}: total {time.perf_counter() - t0:.1f}s]",
                   flush=True)
 
     bench("fe_modp_mul", loop(lambda a, b: (fe.mul_mod_p(a, b), b)),
-          (xs, ys), B)
-    bench("fe_modp_sqr", loop(lambda a: (fe.sqr_mod_p(a),)), (xs,), B)
+          (xs, ys), B, trace=(fe.mul_mod_p, (xs, ys)))
+    bench("fe_modp_sqr", loop(lambda a: (fe.sqr_mod_p(a),)), (xs,), B,
+          trace=(fe.sqr_mod_p, (xs,)))
     bench("fe_modp_inv (fermat chain)",
           loop(lambda a: (fe.inv_mod_p(a),)), (xs,), B)
     bench("fe_modp_grpinv (batched)",
@@ -84,7 +98,10 @@ def run_bench() -> int:
     bench("ec_affine_add (chord, amortized inv)",
           loop(lambda ax, ay, bx, by:
                ecc.batch_affine_add(ax, ay, bx, by, lanes=1024) + (bx, by)),
-          (px, py, qx, qy), B)
+          (px, py, qx, qy), B,
+          trace=(lambda ax, ay, bx, by:
+                 ecc.batch_affine_add(ax, ay, bx, by, lanes=1024),
+                 (px, py, qx, qy)))
     bench("ec_proj_add",
           loop(lambda ax, ay, az, bx, by:
                ecc.proj_add(ax, ay, az, bx, by, az) + (bx, by)),
@@ -96,7 +113,7 @@ def run_bench() -> int:
     Bm = min(B, 1024)
     # heavy enough per call that dispatch amortizes without the fori wrapper
     r = _rate(jax.jit(ecc.scalar_mul), ks[:Bm])
-    rows.append(("ec_scalar_mul (double-and-add)", r * Bm / 1e6))
+    rows.append(("ec_scalar_mul (double-and-add)", r * Bm / 1e6, None))
 
     from .search.mul import build_gtable, window_indices
     w = int(os.environ.get("ECLOOP_GTABLE_W", 14))
@@ -119,38 +136,32 @@ def run_bench() -> int:
         return ax, ay, az
 
     r = _rate(jax.jit(gmul), idx, tx, ty)
-    rows.append(("ec_gtable_mul (w=%d)" % w, r * Bm / 1e6))
+    rows.append(("ec_gtable_mul (w=%d)" % w, r * Bm / 1e6, None))
 
     bench("addr33 (hash160 compressed)",
-          loop(lambda x, y: (hash160.addr33_hash(x, y), y)), (px, py), B)
+          loop(lambda x, y: (hash160.addr33_hash(x, y), y)), (px, py), B,
+          trace=(hash160.addr33_hash, (px, py)))
     bench("addr65 (hash160 uncompressed)",
-          loop(lambda x, y: (hash160.addr65_hash(x, y), y)), (px, py), B)
+          loop(lambda x, y: (hash160.addr65_hash(x, y), y)), (px, py), B,
+          trace=(hash160.addr65_hash, (px, py)))
 
     plat = jax.devices()[0].platform
     print(f"# device: {plat} x{len(jax.devices())} ~ B={B} R={R}")
 
-    # speed-of-light column: measured / (VPU peak / traced ops-per-elem)
-    # (SURVEY §5; VERDICT r1 #5).  Leaf names map onto bench rows; rows
-    # without a leaf budget (composite/scan kernels) print rate only.
+    # speed-of-light column: measured / (VPU peak / traced ops-per-elem),
+    # the op budget traced from the SAME kernel form that was measured
+    # (SURVEY §5; VERDICT r1 #5).  Rows without a traced budget
+    # (composite/scan kernels) print rate only.
     from . import sol
     try:
-        leaf = sol.leaf_budgets()
         vpu, _ = sol.peaks()
     except Exception:  # pragma: no cover — never block the bench
-        leaf, vpu = {}, None
-    name_to_leaf = {
-        "fe_modp_mul": "mul_mod",
-        "fe_modp_sqr": "sqr_mod",
-        "ec_affine_add (chord, amortized inv)": "chord_add",
-        "addr33 (hash160 compressed)": "addr33",
-        "addr65 (hash160 uncompressed)": "addr65",
-    }
-    for name, mits in rows:
-        key = name_to_leaf.get(name)
-        if vpu and key in leaf:
-            pct = mits * 1e6 * leaf[key] / vpu
+        vpu = None
+    for name, mits, ops in rows:
+        if vpu and ops:
+            pct = mits * 1e6 * ops / vpu
             print(f"{name:42s}: {mits:10.3f} M it/s  "
-                  f"[{leaf[key]:6.0f} ops/elem ~ {pct:5.1%} of VPU peak]")
+                  f"[{ops:6.0f} ops/elem ~ {pct:5.1%} of VPU peak]")
         else:
             print(f"{name:42s}: {mits:10.3f} M it/s")
 
@@ -182,8 +193,19 @@ def run_bench_gtable() -> int:
     keys = [int.from_bytes(rng.bytes(32), "little") % golden.N
             for _ in range(B)]
 
+    # per-w speed-of-light ceiling: min(VPU op budget, HBM gather
+    # budget) — justifies the production w choice against a model
+    # (SURVEY §7 'HBM gather bandwidth will bound mul'; VERDICT r2 #7)
+    from . import sol
+    from .search.common import SearchConfig
+    try:
+        leaf = sol.leaf_budgets()
+        sol_cfg = SearchConfig(addr33=True, addr65=False)
+    except Exception:  # pragma: no cover — never block the sweep
+        leaf = None
+
     print(f"{'W':>3} | {'G_SIZE':>10} | {'MEM':>9} | {'BUILD_T':>8} |"
-          f" {'MUL_RATE':>12}")
+          f" {'MUL_RATE':>12} | {'CEILING':>10} | {'BOUND':>5}")
     for w in ws:
         n = 1 << w
         d = (255 // w) + 1
@@ -217,8 +239,15 @@ def run_bench_gtable() -> int:
             return ax, ay, az
 
         rate = _rate(jax.jit(gmul), idx) * B / 1e6
+        ceil_txt, bound = "n/a", ""
+        if leaf:
+            # scan-only ceiling: this sweep times the window scan alone
+            c = sol.mul_ceiling(sol_cfg, w, leaf, scan_only=True)
+            ceil_txt = f"{c['ceiling_keys_per_s'] / 1e6:7.2f} M/s"
+            bound = c["binding"]
         print(f"{w:>3} | {npoints:>10,} | {mem_mb:>6.1f}MB | "
-              f"{build_t:>6.2f}s | {rate:>9.3f} M/s")
+              f"{build_t:>6.2f}s | {rate:>9.3f} M/s | {ceil_txt:>10} | "
+              f"{bound:>5}")
     build_gtable.cache_clear()
     return 0
 

@@ -256,8 +256,14 @@ def adaptive_probe_count(bits: np.ndarray, target_fp: float = 1e-6) -> int:
     The host confirm absorbs the (rare) extra survivors, so this choice
     affects throughput only, never the found set."""
     nbits = bits.size * 64
-    # popcount without np.bitwise_count (NumPy >= 2.0 only)
-    ones = int(np.unpackbits(np.ascontiguousarray(bits).view(np.uint8)).sum())
+    # popcount without np.bitwise_count (NumPy >= 2.0 only); a 256-entry
+    # LUT over the u8 view keeps the temporary the same size as the
+    # filter (np.unpackbits would materialize 8x the filter — 4 GiB for
+    # a 512 MiB .blf)
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(axis=1).astype(np.uint32)
+    ones = int(lut[np.ascontiguousarray(bits).view(np.uint8)].sum(
+        dtype=np.uint64))
     fill = ones / max(nbits, 1)
     if fill <= 0.0:
         return 1

@@ -370,9 +370,22 @@ def cmd_add(args: Args) -> int:
         except ValueError as e:
             _die(str(e))
 
+    if ndev > 1:
+        mesh = make_mesh(jax.devices()[:ndev])
+        # round centers up to a multiple of the device count
+        cfg.centers = -(-cfg.centers // ndev) * ndev
+        eng = ShardedAddSearch(cfg, filt, mesh)
+    else:
+        eng = AddSearch(cfg, filt)
+
     def on_step(done_keys):
         mult = 6 if cfg.endo else 1
-        status.update(done_keys * mult - status.k_checked)
+        # clamp to the engine's claim-based counter (run_range pre-plans
+        # all claims, so eng.k_checked is final once stepping starts):
+        # on a non-GROUP-aligned range the step-rounded done_keys would
+        # otherwise overshoot the reference's k_checked by up to GROUP-1
+        status.update(min(done_keys * mult, eng.k_checked)
+                      - status.k_checked)
         if ckpt:
             ckpt.save(cursor=done_keys, k_checked=status.k_checked,
                       k_found=status.k_found)
@@ -381,13 +394,6 @@ def cmd_add(args: Args) -> int:
     _install_sigint(status, tty)
     tty.start()
     try:
-        if ndev > 1:
-            mesh = make_mesh(jax.devices()[:ndev])
-            # round centers up to a multiple of the device count
-            cfg.centers = -(-cfg.centers // ndev) * ndev
-            eng = ShardedAddSearch(cfg, filt, mesh)
-        else:
-            eng = AddSearch(cfg, filt)
         # both engines share RangeDriver.run_range: identical claim
         # planning, coverage rounding and counter accounting regardless
         # of device count (multi-host consistency, SURVEY.md §4.4)
@@ -482,6 +488,10 @@ def cmd_rnd(args: Args) -> int:
             if ckpt.try_resume():
                 skip_iters = ckpt.iters
                 status.k_found = ckpt.k_found
+                # restore the cumulative checked counter too, so the
+                # per-iteration deltas and every subsequent ckpt.save
+                # stay monotonic across the resume
+                status.k_checked = ckpt.k_checked
                 print(f"resuming from checkpoint: iteration {skip_iters}")
                 if seed is None:
                     print("note: unseeded rnd draws fresh ranges; the "
@@ -498,10 +508,16 @@ def cmd_rnd(args: Args) -> int:
         print(format_range_mask(lo, eng.offs, eng.size, use_color))
         print(format_range_mask(hi, eng.offs, eng.size, use_color))
 
-    last = {"c": 0, "f": 0, "t": time.monotonic()}
+    # seed deltas from the (possibly checkpoint-restored) counters; the
+    # engine's own counter always starts at 0 for this process, so its
+    # contribution is offset by the restored base
+    last = {"c": status.k_checked, "f": status.k_found,
+            "t": time.monotonic()}
+    base_checked = status.k_checked
 
     def on_iter(i, lo, hi, got):
-        status.update(eng.engine.k_checked - status.k_checked)
+        status.update(base_checked + eng.engine.k_checked
+                      - status.k_checked)
         # per-iteration summary: found / checked ~ seconds
         # (reference cmd_rnd, main.c:653-656)
         now = time.monotonic()
@@ -605,15 +621,14 @@ def main(argv: list[str] | None = None) -> int:
 
     # persistent executable cache (TPU only): search-step graphs are
     # large and compiles are slow — repeat invocations of the same
-    # geometry must not pay the compile again.  Not used on CPU: cached
-    # XLA:CPU AOT executables intermittently segfault on reload (machine
-    # pseudo-feature mismatch).  Override dir with ECLOOP_CACHE_DIR,
-    # disable with ECLOOP_CACHE_DIR="".
-    cache = os.environ.get("ECLOOP_CACHE_DIR", "/tmp/ecloop_jax_cache")
-    if cache and plat != "cpu":
-        import jax
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # geometry must not pay the compile again.  Gated on the RESOLVED
+    # backend (cached XLA:CPU AOT executables intermittently segfault
+    # on reload) and only engaged for device-touching commands, so
+    # host-only commands never initialize a backend.  Override dir with
+    # ECLOOP_CACHE_DIR, disable with ECLOOP_CACHE_DIR="".
+    if cmd in ("add", "mul", "rnd", "bench", "bench-gtable", "mult-verify"):
+        from . import enable_compile_cache
+        enable_compile_cache()
 
     # ECLOOP_PROFILE=<dir>: capture a JAX profiler trace of the whole
     # command (view with tensorboard / xprof; SURVEY §5 profiling note)

@@ -238,5 +238,6 @@ class ShardedMulSearch(MulSearch):
                  raw: bool = False, init: str = "auto"):
         self.mesh = mesh if mesh is not None else make_mesh()
         super().__init__(cfg, filt, w=w, batch=batch, raw=raw, init=init)
-        self.step_fn = sharded_mul_step_builder(cfg, filt, self.mesh, w,
-                                                batch)
+
+    def _build_step(self, cfg, filt, w, batch):
+        return sharded_mul_step_builder(cfg, filt, self.mesh, w, batch)

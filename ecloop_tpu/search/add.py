@@ -326,6 +326,11 @@ class RangeDriver:
 
     def run_span(self, base, n_keys, hit_offsets_valid=None, on_found=None,
                  on_step=None):
+        """Search keys base + i*stride, i in [0, n_keys); returns the
+        Found list.  CONTRACT: run_span does NOT touch k_checked —
+        counter accounting is run_range's job (claim-based, reference
+        cmd_add parity).  Direct callers (tools/check_consistency.py,
+        tests) compare found-sets; use run_range when counters matter."""
         raise NotImplementedError
 
     def run_range(self, on_found=None, on_progress=None, start_offset: int = 0,

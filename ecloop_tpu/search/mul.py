@@ -297,7 +297,7 @@ class MulSearch:
         self.raw = raw
         self.tx, self.ty = build_gtable(w, cfg.lanes, init)
         self.bits = jnp.asarray(filt.device_bits)
-        self.step_fn = build_mul_step(cfg, filt, w, batch)
+        self.step_fn = self._build_step(cfg, filt, w, batch)
         self.k_checked = 0
         self.k_found = 0
         # in-flight (job, masks, on_found) jobs; depth > 1 hides the
@@ -307,6 +307,12 @@ class MulSearch:
         import os
         self._depth = int(os.environ.get("ECLOOP_MUL_INFLIGHT", "4"))
         self._pending = collections.deque()
+
+    def _build_step(self, cfg: SearchConfig, filt: Filter, w: int,
+                    batch: int):
+        """Step-graph factory — subclass hook (ShardedMulSearch swaps in
+        the mesh builder so no unused single-device graph is created)."""
+        return build_mul_step(cfg, filt, w, batch)
 
     def run_keys(self, keys: list[int], on_found=None,
                  drain: bool = True) -> list[Found]:

@@ -177,6 +177,15 @@ def _leaf_budgets_native(ecc, hash160) -> dict[str, float]:
         lambda hw: bloom.probe_exact(hw, bits, 8294400, 3), h, elems=n)
     out["probe_pow2"] = ops_per_element(
         lambda hw: bloom.probe_pow2(hw, bits, 23, 2), h, elems=n)
+    z = _rows(shape)
+    out["proj_add_affine"] = ops_per_element(
+        lambda x1, y1, z1, x2, y2: ecc.proj_add_affine_rows(
+            x1, y1, z1, x2, y2, complete=False),
+        a, b, z, _rows(shape), _rows(shape), elems=n)
+    out["proj_add_affine_complete"] = ops_per_element(
+        lambda x1, y1, z1, x2, y2: ecc.proj_add_affine_rows(
+            x1, y1, z1, x2, y2, complete=True),
+        a, b, z, _rows(shape), _rows(shape), elems=n)
     return out
 
 
@@ -216,6 +225,62 @@ def step_budget(cfg, leaf: dict[str, float] | None = None,
         "total_ops_per_point": total,
         "ops_per_checked_key": total / checked_mult,
         "checked_mult": checked_mult,
+    }
+
+
+def mul_step_budget(cfg, w: int, leaf: dict[str, float] | None = None,
+                    probe: str = "probe_pow2") -> dict:
+    """Analytic per-key budget of one mul-mode job (search/mul
+    make_mul_step) — BOTH the VPU op budget and the HBM gather budget,
+    because the gtable window gathers are data-dependent HBM reads that
+    the op counter treats as free (SURVEY §7: 'HBM gather bandwidth
+    will bound mul'; VERDICT r2 weak #4).
+
+    Per key: d = ceil(255/w)+1 window gathers (2 coords x 16 u32 limbs
+    = 128 B each from a d*(2^w - 1)-row table — too large to cache for
+    w >= 10) + d-1 incomplete and 1 complete projective mixed adds +
+    one amortized batch inversion + 2 muls to affine + hash + probe.
+    """
+    leaf = leaf or leaf_budgets()
+    d = (255 // w) + 1
+    variants = int(cfg.addr33) + int(cfg.addr65)
+    per_key = {
+        "window adds": (d - 1) * leaf["proj_add_affine"]
+        + leaf["proj_add_affine_complete"],
+        "batch inverse": 3 * leaf["mul_mod"]
+        + (255 * leaf["sqr_mod"] + 15 * leaf["mul_mod"]) / cfg.lanes
+        + 2 * leaf["mul_mod"],
+        "hash+probe": variants * (leaf["addr33"] + leaf[probe]),
+    }
+    total = sum(per_key.values())
+    gather_bytes = d * 2 * 16 * 4          # d windows x (x,y) x 16 u32
+    return {
+        "per_key": per_key,
+        "total_ops_per_key": total,
+        "gather_bytes_per_key": gather_bytes,
+        "windows": d,
+    }
+
+
+def mul_ceiling(cfg, w: int, leaf: dict[str, float] | None = None,
+                device=None, scan_only: bool = False) -> dict:
+    """Mul-mode speed-of-light: min(VPU-bound, HBM-gather-bound) keys/s
+    for window width w, with which bound binds.  scan_only=True budgets
+    just the gtable window scan (what bench-gtable measures — reference
+    bench.c:114-141 likewise times ec_gtable_mul alone); False budgets
+    the full production job (scan + inversion + hash + probe)."""
+    vpu, hbm = peaks(device)
+    b = mul_step_budget(cfg, w, leaf)
+    ops = (b["per_key"]["window adds"] if scan_only
+           else b["total_ops_per_key"])
+    vpu_rate = vpu / ops
+    hbm_rate = hbm / b["gather_bytes_per_key"]
+    return {
+        "vpu_bound_keys_per_s": vpu_rate,
+        "hbm_bound_keys_per_s": hbm_rate,
+        "ceiling_keys_per_s": min(vpu_rate, hbm_rate),
+        "binding": "vpu" if vpu_rate <= hbm_rate else "hbm",
+        **b,
     }
 
 

@@ -60,6 +60,26 @@ def test_step_budget_composition():
     assert pk["hash+probe"] > 0.5 * b_endo["total_ops_per_point"]
 
 
+def test_mul_budget_and_ceiling():
+    leaf = sol.leaf_budgets()
+    cfg = SearchConfig(addr33=True, addr65=False)
+    b14 = sol.mul_step_budget(cfg, 14, leaf)
+    assert b14["windows"] == 19                       # ceil(255/14)+1
+    assert b14["gather_bytes_per_key"] == 19 * 128    # 2 coords x 64 B
+    # wider window -> fewer gathers
+    b20 = sol.mul_step_budget(cfg, 20, leaf)
+    assert b20["gather_bytes_per_key"] < b14["gather_bytes_per_key"]
+    assert b20["per_key"]["window adds"] < b14["per_key"]["window adds"]
+
+    full = sol.mul_ceiling(cfg, 14, leaf)
+    scan = sol.mul_ceiling(cfg, 14, leaf, scan_only=True)
+    # scan-only budgets a subset of the work -> ceiling at least as high
+    assert (scan["ceiling_keys_per_s"] >= full["ceiling_keys_per_s"])
+    assert full["binding"] in ("vpu", "hbm")
+    assert full["ceiling_keys_per_s"] == min(full["vpu_bound_keys_per_s"],
+                                             full["hbm_bound_keys_per_s"])
+
+
 def test_peaks_override(monkeypatch):
     monkeypatch.setenv("ECLOOP_VPU_PEAK", "1e12")
     monkeypatch.setenv("ECLOOP_HBM_PEAK", "5e11")

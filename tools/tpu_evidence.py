@@ -1,0 +1,92 @@
+"""Assemble TPU_RESULTS.md from a tools/tpu_evidence.sh output directory.
+
+Each evidence stage writes <name>.log plus an `rc=<n> <name>` line in
+`log`; this script renders them into the committed evidence artifact
+(VERDICT r2 #4: README perf/correctness claims must cite raw, in-repo
+TPU runs).  Safe to run mid-pack: stages not yet run are listed as
+pending, so a partially-completed pack still yields a valid report.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+STAGES = [
+    ("bench", "bench.py headline (writes BENCH_LAST_GOOD.json)"),
+    ("add_vector", "golden add vector: 9 keys over -r 8000:ffffff"),
+    ("mul_vector", "golden mul vector: 1080 keys from data/btc-bw-priv"),
+    ("blf_roundtrip", "blf-gen + search through the .blf path"),
+    ("tpu_tests", "pytest on device (ECLOOP_TEST_TPU=1, incl. Pallas)"),
+    ("bench_micro", "per-kernel microbench (bench cmd)"),
+    ("bench_gtable", "gtable width sweep (bench-gtable)"),
+]
+
+MAX_LINES = 60
+
+
+def _tail(path: str, n: int = MAX_LINES) -> str:
+    try:
+        with open(path, errors="replace") as f:
+            lines = f.read().splitlines()
+    except OSError:
+        return "(no log)"
+    body = lines if len(lines) <= n else (
+        [f"... ({len(lines) - n} lines elided)"] + lines[-n:])
+    return "\n".join(body)
+
+
+def main(out_dir: str) -> int:
+    rcs = {}
+    log_path = os.path.join(out_dir, "log")
+    if os.path.exists(log_path):
+        for line in open(log_path):
+            m = re.match(r"rc=(\d+) (\S+)", line)
+            if m:
+                rcs[m.group(2)] = int(m.group(1))
+
+    dev = _tail(os.path.join(out_dir, "device.log"), 5)
+    parts = [
+        "# TPU evidence pack",
+        "",
+        f"Captured: {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())} "
+        f"(UTC) on the live device via tools/tpu_evidence.sh.",
+        "Raw per-stage logs below are verbatim; exit codes per stage.",
+        "",
+        "## Device",
+        "```",
+        dev,
+        "```",
+        "",
+        "## Stages",
+        "",
+        "| stage | what | rc |",
+        "|---|---|---|",
+    ]
+    for name, desc in STAGES:
+        rc = rcs.get(name)
+        status = "pending" if rc is None else ("ok" if rc == 0 else f"FAIL({rc})")
+        parts.append(f"| {name} | {desc} | {status} |")
+    parts.append("")
+    for name, desc in STAGES:
+        if rcs.get(name) is None:
+            continue
+        parts += [f"## {name} — {desc} (rc={rcs[name]})", "```",
+                  _tail(os.path.join(out_dir, f"{name}.log")), "```", ""]
+    # found-key files, the actual correctness payload
+    for fname, want in (("add_found.txt", 9), ("mul_found.txt", 1080),
+                        ("blf_add_found.txt", 9)):
+        p = os.path.join(out_dir, fname)
+        if os.path.exists(p):
+            n = sum(1 for _ in open(p))
+            parts += [f"## {fname}: {n} found keys (expect {want}) — "
+                      f"{'MATCH' if n == want else 'MISMATCH'}", "```",
+                      _tail(p, 15), "```", ""]
+    print("\n".join(parts))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_evidence"))

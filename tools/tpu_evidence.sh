@@ -1,0 +1,60 @@
+#!/bin/bash
+# One-shot TPU evidence pack (VERDICT r2 #4): run the golden vectors,
+# the device test subset, and the benches on the live TPU, writing raw
+# logs to $OUT and regenerating TPU_RESULTS.md after EVERY stage so a
+# tunnel drop mid-pack still leaves a valid partial artifact.
+#
+# Stage order = value order: the headline bench first (it persists
+# BENCH_LAST_GOOD.json, the round's #1 deliverable), then correctness
+# vectors, then the slower sweeps.
+set -u
+cd "$(dirname "$0")/.."
+OUT=${OUT:-/tmp/tpu_evidence}
+mkdir -p "$OUT"
+: > "$OUT/log"
+
+report() {
+  python tools/tpu_evidence.py "$OUT" > TPU_RESULTS.md 2>/dev/null || true
+}
+
+run() {
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name start $(date -u +%H:%M:%SZ) ===" >> "$OUT/log"
+  timeout -k 30 "$tmo" "$@" > "$OUT/$name.log" 2>&1
+  echo "rc=$? $name" >> "$OUT/log"
+  report
+}
+
+run device 300 python -c "import jax,sys; d=jax.devices(); print(d[0].platform, d[0].device_kind, len(d), 'jax', jax.__version__)"
+
+# 1. headline bench -> BENCH_LAST_GOOD.json (stage A alone suffices)
+ECLOOP_BENCH_BUDGET_S=${ECLOOP_BENCH_BUDGET_S:-1200} \
+  run bench 1300 python bench.py
+
+# 2. golden add vector: 9 keys / 16,777,216 checked (reference make add)
+run add_vector 1500 python -m ecloop_tpu add -f data/btc-puzzles-hash \
+  -r 8000:ffffff -q -o "$OUT/add_found.txt"
+
+# 3. golden mul vector: 1080 keys (reference make mul)
+run mul_vector 1800 bash -c "cat data/btc-bw-priv | python -m ecloop_tpu \
+  mul -f data/btc-bw-hash -a cu -q -o '$OUT/mul_found.txt'"
+
+# 4. bloom round-trip (reference make blf)
+run blf_roundtrip 1800 bash -c "
+  rm -f /tmp/ecloop-ev.blf '$OUT/blf_add_found.txt' &&
+  cat data/btc-puzzles-hash data/btc-bw-hash |
+    python -m ecloop_tpu blf-gen -n 32768 -o /tmp/ecloop-ev.blf &&
+  python -m ecloop_tpu add -f /tmp/ecloop-ev.blf -r 8000:ffffff -q \
+    -o '$OUT/blf_add_found.txt'"
+
+# 5. device test subset incl. the TPU-only forms (Pallas, unrolled fel)
+ECLOOP_TEST_TPU=1 run tpu_tests 2400 python -m pytest \
+  tests/test_tpu_variants.py tests/test_golden.py tests/test_sol.py -q
+
+# 6. per-kernel microbench + 7. gtable width sweep
+run bench_micro 1800 python -m ecloop_tpu bench
+ECLOOP_GTABLE_WS="${ECLOOP_GTABLE_WS:-8 10 12 14 16 18 20}" \
+  run bench_gtable 3000 python -m ecloop_tpu bench-gtable
+
+report
+echo "evidence pack complete; see TPU_RESULTS.md and $OUT/"

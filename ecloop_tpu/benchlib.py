@@ -109,6 +109,16 @@ def run_bench() -> int:
     bench("ec_proj_dbl",
           loop(lambda ax, ay, az: ecc.proj_dbl(ax, ay, az)),
           (px, py, one), B)
+    # v2 jacobian rows, mirroring the reference's add2/dbl2 comparison
+    # (lib/bench.c:33-36; production dispatches the projective v1 ops,
+    # same choice as reference ecc.c:812-815)
+    bench("ec_jac_add (v2)",
+          loop(lambda ax, ay, az, bx, by:
+               ecc.jac_add(ax, ay, az, bx, by, az) + (bx, by)),
+          (px, py, one, qx, qy), B)
+    bench("ec_jac_dbl (v2)",
+          loop(lambda ax, ay, az: ecc.jac_dbl(ax, ay, az)),
+          (px, py, one), B)
 
     Bm = min(B, 1024)
     # heavy enough per call that dispatch amortizes without the fori wrapper

@@ -293,6 +293,96 @@ def proj_add_affine(x1, y1, z1, x2, y2):
     return x3, y3, z3
 
 
+# --- jacobian operations (v2 coordinate system) -------------------------------
+# Counterpart of the reference's alternate point-op set (_ec_jacobi_add2 /
+# _ec_jacobi_dbl2 / _ec_jacobi_rdc2, lib/ecc.c:711-806).  Coordinates are
+# x = X/Z^2, y = Y/Z^3; infinity is Z == 0.  The reference compiles v2 but
+# dispatches v1 (ecc.c:812-815) because adds dominate its workload and the
+# projective add is cheaper; the same trade holds here, so the production
+# engines use the projective ops above — v2 exists for parity, for the bench
+# comparison rows (lib/bench.c:33-36), and as an independent cross-check of
+# the projective formulas (test_ecc.py).  Formulas are the standard public
+# Jacobian add/double for a = 0 curves, made complete with selects instead
+# of the reference's asserts (TPU kernels cannot branch per element).
+
+def jac_from_affine(x, y):
+    one = jnp.broadcast_to(jnp.asarray(fe.ONE), x.shape)
+    return x, y, one
+
+
+def jac_dbl(x1, y1, z1):
+    """Jacobian doubling, a=0 curve (2M + 5S core).
+
+    Doubling of infinity (z=0) or of a y=0 point yields z3=0: correct
+    (secp256k1 has no order-2 points, but the select-free property means
+    no special casing is needed)."""
+    a = fe.sqr_mod_p(x1)                                   # X1^2
+    b = fe.sqr_mod_p(y1)                                   # Y1^2
+    c = fe.sqr_mod_p(b)                                    # Y1^4
+    # D = 2*((X1+B)^2 - A - C) = 4*X1*Y1^2
+    d = fe.mul_mod_p_small(
+        fe.sub_mod(fe.sub_mod(fe.sqr_mod_p(fe.add_mod(x1, b)), a), c), 2)
+    e = fe.mul_mod_p_small(a, 3)                           # 3*X1^2
+    x3 = fe.sub_mod(fe.sqr_mod_p(e), fe.mul_mod_p_small(d, 2))
+    y3 = fe.sub_mod(fe.mul_mod_p(e, fe.sub_mod(d, x3)),
+                    fe.mul_mod_p_small(c, 8))
+    z3 = fe.mul_mod_p_small(fe.mul_mod_p(y1, z1), 2)
+    return x3, y3, z3
+
+
+def jac_add(x1, y1, z1, x2, y2, z2):
+    """Jacobian addition, complete via selects: handles P=inf, Q=inf,
+    P==Q (falls back to jac_dbl) and P==-Q (-> infinity)."""
+    z1z1 = fe.sqr_mod_p(z1)
+    z2z2 = fe.sqr_mod_p(z2)
+    u1 = fe.mul_mod_p(x1, z2z2)
+    u2 = fe.mul_mod_p(x2, z1z1)
+    s1 = fe.mul_mod_p(fe.mul_mod_p(y1, z2), z2z2)
+    s2 = fe.mul_mod_p(fe.mul_mod_p(y2, z1), z1z1)
+    h = fe.sub_mod(u2, u1)
+    r = fe.sub_mod(s2, s1)
+
+    same_x = fe.is_zero(h)
+    same_y = fe.is_zero(r)
+    p_inf = fe.is_zero(z1)
+    q_inf = fe.is_zero(z2)
+
+    hh = fe.sqr_mod_p(h)
+    hhh = fe.mul_mod_p(h, hh)
+    v = fe.mul_mod_p(u1, hh)
+    x3 = fe.sub_mod(fe.sub_mod(fe.sqr_mod_p(r), hhh),
+                    fe.mul_mod_p_small(v, 2))
+    y3 = fe.sub_mod(fe.mul_mod_p(r, fe.sub_mod(v, x3)),
+                    fe.mul_mod_p(s1, hhh))
+    z3 = fe.mul_mod_p(fe.mul_mod_p(z1, z2), h)
+
+    # P == Q (same x, same y, both finite) -> doubling
+    dx, dy, dz = jac_dbl(x1, y1, z1)
+    is_dbl = same_x & same_y & ~p_inf & ~q_inf
+    x3 = fe.select(is_dbl, dx, x3)
+    y3 = fe.select(is_dbl, dy, y3)
+    z3 = fe.select(is_dbl, dz, z3)
+
+    # P == -Q -> infinity (h = 0 already forces z3 = 0) ✓
+
+    # P = inf -> Q ; Q = inf -> P (both inf -> z1 = 0 -> infinity) ✓
+    x3 = fe.select(q_inf, x1, fe.select(p_inf, x2, x3))
+    y3 = fe.select(q_inf, y1, fe.select(p_inf, y2, y3))
+    z3 = fe.select(q_inf, z1, fe.select(p_inf, z2, z3))
+    return x3, y3, z3
+
+
+def jac_to_affine(x, y, z, lanes: int = 1024):
+    """Batch-reduce Jacobian points to affine with one group inversion
+    (counterpart of _ec_jacobi_rdc2/_grprdc2, lib/ecc.c:780-806).
+    Infinity (z=0) maps to (0, 0)."""
+    zinv = fe.inv_mod_p_batch(z, lanes=lanes)
+    zinv2 = fe.sqr_mod_p(zinv)
+    ax = fe.mul_mod_p(x, zinv2)
+    ay = fe.mul_mod_p(y, fe.mul_mod_p(zinv2, zinv))
+    return ax, ay
+
+
 # --- scalar multiplication ------------------------------------------------------
 
 def scalar_mul(k_limbs, px=None, py=None):

@@ -113,3 +113,64 @@ def test_on_curve(rng):
     px, py = ecc.ints_to_pts(pts)
     assert bool(jnp.all(j_on_curve(px, py)))
     assert not bool(jnp.any(j_on_curve(px, fe.add_mod(py, py))))
+
+
+# --- jacobian v2 coordinate system (lib/ecc.c:711-806 counterpart) -----------
+
+j_jac_add = jax.jit(ecc.jac_add)
+j_jac_dbl = jax.jit(ecc.jac_dbl)
+j_jac_to_affine = jax.jit(ecc.jac_to_affine, static_argnames="lanes")
+
+
+def test_jac_add_and_dbl(rng):
+    ks, pts = rand_points(rng, 16)
+    ls, qts = rand_points(rng, 16)
+    px, py = ecc.ints_to_pts(pts)
+    qx, qy = ecc.ints_to_pts(qts)
+    x1, y1, z1 = ecc.jac_from_affine(px, py)
+    x2, y2, z2 = ecc.jac_from_affine(qx, qy)
+    x3, y3, z3 = j_jac_add(x1, y1, z1, x2, y2, z2)
+    ax, ay = j_jac_to_affine(x3, y3, z3, lanes=4)
+    assert ecc.pts_to_ints(ax, ay) == [golden.point_add(p, q)
+                                       for p, q in zip(pts, qts)]
+    x3, y3, z3 = j_jac_dbl(x1, y1, z1)
+    ax, ay = j_jac_to_affine(x3, y3, z3, lanes=4)
+    assert ecc.pts_to_ints(ax, ay) == [golden.point_dbl(p) for p in pts]
+
+
+def test_jac_add_degenerate_cases(rng):
+    """P==Q -> dbl; P==-Q -> inf; P=inf, Q=inf handled (the reference's
+    v2 asserts on these, ecc.c:759; here they must flow through)."""
+    k, pt = rand_points(rng, 1)
+    px, py = ecc.ints_to_pts([pt[0], pt[0], pt[0], (0, 0)])
+    qx, qy = ecc.ints_to_pts([pt[0], golden.point_neg(pt[0]), (0, 0), pt[0]])
+    x1, y1, z1 = ecc.jac_from_affine(px, py)
+    x2, y2, z2 = ecc.jac_from_affine(qx, qy)
+    z2 = z2.at[2].set(0)
+    z1 = z1.at[3].set(0)
+    x3, y3, z3 = j_jac_add(x1, y1, z1, x2, y2, z2)
+    ax, ay = j_jac_to_affine(x3, y3, z3, lanes=4)
+    got = ecc.pts_to_ints(ax, ay)
+    assert got[0] == golden.point_dbl(pt[0])
+    assert bool(fe.is_zero(z3[1]))
+    assert got[2] == pt[0]
+    assert got[3] == pt[0]
+
+
+def test_jac_chain_matches_projective(rng):
+    """Independent cross-check of the two coordinate systems against each
+    other (the reference's mult_verify idea applied to point ops): a mixed
+    add/dbl chain computed in both must land on the same affine points."""
+    ks, pts = rand_points(rng, 8)
+    px, py = ecc.ints_to_pts(pts)
+    jx, jy, jz = ecc.jac_from_affine(px, py)
+    vx, vy, vz = ecc.proj_from_affine(px, py)
+    for _ in range(3):
+        jx, jy, jz = j_jac_add(*j_jac_dbl(jx, jy, jz),
+                               *ecc.jac_from_affine(px, py))
+        vx, vy, vz = j_proj_add(*j_proj_dbl(vx, vy, vz),
+                                *ecc.proj_from_affine(px, py))
+    ja = ecc.pts_to_ints(*j_jac_to_affine(jx, jy, jz, lanes=4))
+    va = ecc.pts_to_ints(*j_to_affine(vx, vy, vz, lanes=4))
+    assert ja == va
+    assert bool(jnp.all(j_on_curve(*j_jac_to_affine(jx, jy, jz, lanes=4))))

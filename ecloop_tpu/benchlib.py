@@ -63,7 +63,27 @@ def run_bench() -> int:
             return jax.lax.fori_loop(0, R, it, args)
         return jax.jit(fn)
 
-    rows = []
+    plat = jax.devices()[0].platform
+    print(f"# device: {plat} x{len(jax.devices())} ~ B={B} R={R}",
+          flush=True)
+    from . import sol
+    try:
+        vpu, _ = sol.peaks()
+    except Exception:  # pragma: no cover — never block the bench
+        vpu = None
+
+    def emit(name, mits, ops):
+        """One row, printed the moment it is measured (a buffered
+        summary leaves a timed-out run with an EMPTY log — the
+        bench_micro rc=124 failure mode).  Speed-of-light column when a
+        traced op budget exists (SURVEY §5; VERDICT r1 #5)."""
+        if vpu and ops:
+            pct = mits * 1e6 * ops / vpu
+            print(f"{name:42s}: {mits:10.3f} M it/s  "
+                  f"[{ops:6.0f} ops/elem ~ {pct:5.1%} of VPU peak]",
+                  flush=True)
+        else:
+            print(f"{name:42s}: {mits:10.3f} M it/s", flush=True)
 
     def bench(name, fn, args, per_call, trace=None):
         """trace=(fn1, args1): single-iteration form of the SAME kernel
@@ -75,13 +95,12 @@ def run_bench() -> int:
         r = _rate(fn, *args)
         ops = None
         if trace is not None:
-            from . import sol
             try:
                 ops = sol.ops_per_element(trace[0], *trace[1],
                                           elems=per_call)
             except Exception:  # pragma: no cover — never block the bench
                 ops = None
-        rows.append((name, r * R * per_call / 1e6, ops))
+        emit(name, r * R * per_call / 1e6, ops)
         if os.environ.get("ECLOOP_BENCH_VERBOSE"):
             print(f"  [{name}: total {time.perf_counter() - t0:.1f}s]",
                   flush=True)
@@ -123,7 +142,7 @@ def run_bench() -> int:
     Bm = min(B, 1024)
     # heavy enough per call that dispatch amortizes without the fori wrapper
     r = _rate(jax.jit(ecc.scalar_mul), ks[:Bm])
-    rows.append(("ec_scalar_mul (double-and-add)", r * Bm / 1e6, None))
+    emit("ec_scalar_mul (double-and-add)", r * Bm / 1e6, None)
 
     from .search.mul import build_gtable, window_indices
     w = int(os.environ.get("ECLOOP_GTABLE_W", 14))
@@ -146,7 +165,7 @@ def run_bench() -> int:
         return ax, ay, az
 
     r = _rate(jax.jit(gmul), idx, tx, ty)
-    rows.append(("ec_gtable_mul (w=%d)" % w, r * Bm / 1e6, None))
+    emit("ec_gtable_mul (w=%d)" % w, r * Bm / 1e6, None)
 
     bench("addr33 (hash160 compressed)",
           loop(lambda x, y: (hash160.addr33_hash(x, y), y)), (px, py), B,
@@ -154,26 +173,6 @@ def run_bench() -> int:
     bench("addr65 (hash160 uncompressed)",
           loop(lambda x, y: (hash160.addr65_hash(x, y), y)), (px, py), B,
           trace=(hash160.addr65_hash, (px, py)))
-
-    plat = jax.devices()[0].platform
-    print(f"# device: {plat} x{len(jax.devices())} ~ B={B} R={R}")
-
-    # speed-of-light column: measured / (VPU peak / traced ops-per-elem),
-    # the op budget traced from the SAME kernel form that was measured
-    # (SURVEY §5; VERDICT r1 #5).  Rows without a traced budget
-    # (composite/scan kernels) print rate only.
-    from . import sol
-    try:
-        vpu, _ = sol.peaks()
-    except Exception:  # pragma: no cover — never block the bench
-        vpu = None
-    for name, mits, ops in rows:
-        if vpu and ops:
-            pct = mits * 1e6 * ops / vpu
-            print(f"{name:42s}: {mits:10.3f} M it/s  "
-                  f"[{ops:6.0f} ops/elem ~ {pct:5.1%} of VPU peak]")
-        else:
-            print(f"{name:42s}: {mits:10.3f} M it/s")
 
     if vpu and os.environ.get("ECLOOP_BENCH_SOL", "1") == "1":
         from .search.common import SearchConfig
@@ -234,19 +233,39 @@ def run_bench_gtable() -> int:
 
         idx = jnp.asarray(window_indices(keys, w).T)
 
+        # measure the PRODUCTION window-scan form (tiled fel rows,
+        # incomplete adds below the top window — exactly what
+        # search/mul.make_mul_step executes), not a flat fe-layout
+        # stand-in: (B, 16) arrays fill 16 of 128 lanes and under-read
+        # the rate ~8x, which made the ceiling column meaningless
+        from . import fel
+        tiled = B % 1024 == 0
+        bshape = (B // 1024, 8, 128) if tiled else (B,)
+
+        def t3(rows):
+            return tuple(r.reshape(bshape) for r in rows)
+
         def gmul(idx_, tx_=tx, ty_=ty):
-            def body(carry, idx_i):
-                qx_, qy_, qz_ = carry
-                gx = jnp.take(tx_, jnp.maximum(idx_i, 0), axis=0)
-                gy = jnp.take(ty_, jnp.maximum(idx_i, 0), axis=0)
-                nx, ny, nz = ecc.proj_add_affine(qx_, qy_, qz_, gx, gy)
-                skip = idx_i < 0
-                return (fe.select(skip, qx_, nx), fe.select(skip, qy_, ny),
-                        fe.select(skip, qz_, nz)), None
-            zeros = jnp.zeros((idx_.shape[1], 16), dtype=jnp.uint32)
-            (ax, ay, az), _ = jax.lax.scan(
-                body, ecc.proj_infinity(zeros), idx_)
-            return ax, ay, az
+            def mk_body(complete):
+                def body(carry, idx_i):
+                    qx_, qy_, qz_ = carry
+                    gx = t3(fel.from_last(
+                        jnp.take(tx_, jnp.maximum(idx_i, 0), axis=0)))
+                    gy = t3(fel.from_last(
+                        jnp.take(ty_, jnp.maximum(idx_i, 0), axis=0)))
+                    nx, ny, nz = ecc.proj_add_affine_rows(
+                        qx_, qy_, qz_, gx, gy, complete=complete)
+                    skip = (idx_i < 0).reshape(bshape)
+                    return (fel.select(skip, qx_, nx),
+                            fel.select(skip, qy_, ny),
+                            fel.select(skip, qz_, nz)), None
+                return body
+            zero = fel.const_rows(0, bshape)
+            one = fel.const_rows(1, bshape)
+            carry, _ = jax.lax.scan(mk_body(False), (zero, one, zero),
+                                    idx_[:-1])
+            (qx_, qy_, qz_), _ = mk_body(True)(carry, idx_[-1])
+            return qx_[0], qy_[0], qz_[0]
 
         rate = _rate(jax.jit(gmul), idx) * B / 1e6
         ceil_txt, bound = "n/a", ""

@@ -19,9 +19,15 @@ Counts are exact for the traced graph (scan bodies multiplied by trip
 count); XLA's CSE can only reduce them, so utilization is conservative
 (reported utilization <= true hardware utilization).
 
-Peak numbers: the VPU on every current TPU generation is (8, 128) with
-4 independent ALUs per slot (pallas_guide.md "8x128"); clocks are the
-published per-generation values.  Override with ECLOOP_VPU_PEAK /
+Peak numbers: the VPU is an (8, 128) grid = 1024 lanes; the peak used
+here is **1 int32 op per lane per cycle** (lanes x clock).  Round 3
+measured this directly on the v5e (tools/exp_vpu_slope.py: deep
+data-dependent u32 chains — x = x*x + c, x = x ^ (x >> 1) — that XLA
+cannot fold, forced with a host fetch): sustained ~740 G u32 ops/s
+~= 0.77 ops/lane/cycle, against 0.96 T theoretical at 0.94 GHz.  The
+earlier 4-ALUs-per-lane assumption (3.85 T) overstated the ceiling 4x
+and made the engine look ~12% efficient when it actually runs at ~half
+of what the hardware sustains.  Override with ECLOOP_VPU_PEAK /
 ECLOOP_HBM_PEAK (ops/s, bytes/s) for unlisted hardware.
 """
 
@@ -43,7 +49,8 @@ _KNOWN = {
     "v3": (0.94, 900),
     "v2": (0.70, 700),
 }
-_VPU_SLOTS = 8 * 128 * 4          # sublanes x lanes x ALUs
+_VPU_SLOTS = 8 * 128              # sublanes x lanes, 1 int32 op/cycle
+                                  # (measured, see module docstring)
 
 
 def peaks(device=None) -> tuple[float, float]:

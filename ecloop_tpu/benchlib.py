@@ -16,15 +16,25 @@ import time
 import numpy as np
 
 
+def _force(out):
+    """Force execution with a real host fetch of one result array.
+    jax.block_until_ready returns without waiting through the axon
+    device tunnel (measured in tools/exp_vpu_slope.py), so timing loops
+    that rely on it read dispatch time, not execution time."""
+    x = out
+    while isinstance(x, (tuple, list)):
+        x = x[0]
+    return np.asarray(x)
+
+
 def _rate(fn, *args, iters: int = 3):
-    """Wall-time fn(*args) -> elements/sec (fn returns arrays; blocked)."""
-    import jax
-    out = fn(*args)            # compile + warmup
-    jax.block_until_ready(out)
+    """Wall-time fn(*args) -> calls/sec (forced by host fetch)."""
+    _force(fn(*args))          # compile + warmup
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     return iters / (time.perf_counter() - t0)
 
 
@@ -224,7 +234,7 @@ def run_bench_gtable() -> int:
         build_gtable.cache_clear()
         try:
             tx, ty = build_gtable(w, how="device")
-            jax.block_until_ready((tx, ty))
+            _force(tx[:1])
         except Exception as e:  # noqa: BLE001 — keep sweeping (e.g. OOM)
             print(f"{w:>3} | {npoints:>10,} | {mem_mb:>6.1f}MB | "
                   f"build failed: {type(e).__name__}")

@@ -338,6 +338,27 @@ def mul_mod_p_small(a: jnp.ndarray, k: int) -> jnp.ndarray:
 
 # --- modular inverse -----------------------------------------------------------
 
+def _inv_binpow_scan(a: jnp.ndarray) -> jnp.ndarray:
+    """Batched a^(p-2) mod p as MSB-first square-and-multiply in ONE
+    lax.scan (the reference's alternate `_fe_modp_inv_binpow` form,
+    lib/ecc.c:446-468).  ~1.9x the runtime of the addition chain (255
+    conditional muls always evaluated) but a single sqr+mul loop body —
+    XLA:CPU compiles it in seconds where the chain's ~32 distinct
+    inlined field-op bodies take >90 s on one core, which is why this
+    is the CPU-default form (the dryrun/CI compile path)."""
+    e = P - 2
+    bits = jnp.asarray([(e >> (255 - i)) & 1 for i in range(256)],
+                       dtype=bool)
+
+    def body(x, b):
+        x = sqr_mod_p(x)
+        return jnp.where(b, mul_mod_p(x, a), x), None
+
+    # MSB of p-2 is 1: seed with a, consume the remaining 255 bits
+    x, _ = jax.lax.scan(body, a, bits[1:])
+    return x
+
+
 def inv_mod_p(a: jnp.ndarray) -> jnp.ndarray:
     """Batched a^(p-2) mod p via a short addition chain (~255 sqr + 15 mul).
 
@@ -345,8 +366,11 @@ def inv_mod_p(a: jnp.ndarray) -> jnp.ndarray:
     it is the standard public secp256k1 inversion ladder (cf. bitcoin-core
     field_inv; the reference uses the same idea, lib/ecc.c:446-520).  The
     chain below is verified symbolically in tests/test_fe.py by tracking
-    exponents with Python ints.
+    exponents with Python ints.  On CPU the binpow scan form (above) is
+    used instead — same results, far cheaper compile.
     """
+    if not _unroll_default():
+        return _inv_binpow_scan(a)
     sqr, mul = sqr_mod_p, mul_mod_p
 
     def sqrn(x, n):

@@ -265,13 +265,17 @@ def main() -> int:
         return 0
 
     # ---- stage B: production spc graph, only with budget headroom -------
-    # A cold spc=8 compile costs roughly spc x the spc=1 compile; demand
-    # that much headroom plus a measurement allowance before trying.
+    # The spc>1 graph wraps the SAME step body in a lax.scan, so the
+    # body compiles once and a cold stage-B compile costs ~1-1.5x the
+    # stage-A compile, not spc x (the old spc-x heuristic skipped stage
+    # B whenever stage A compiled cold, which is exactly when stage B's
+    # dispatch-amortized number matters most — per-dispatch latency
+    # through the device tunnel is ~27 ms).  Demand 2x + allowance.
     def remaining() -> float:
         return budget - (time.monotonic() - T0)
 
     try:
-        if prod_spc > 1 and remaining() > prod_spc * max(compile_s, 10) + 120:
+        if prod_spc > 1 and remaining() > 2 * max(compile_s, 10) + 180:
             cfg8 = cfg_for(prod_spc, endo)
             eng8 = AddSearch(cfg8, filt, init="host")
             _note(f"stage B: spc={prod_spc} compile+measure starting "
@@ -286,7 +290,7 @@ def main() -> int:
 
         # like-for-like non-endo number for the report (stderr only;
         # the reference's 10.73 M baseline is a plain add run)
-        if endo and remaining() > prod_spc * max(compile_s, 10) + 120:
+        if endo and remaining() > 2 * max(compile_s, 10) + 180:
             cfgn = cfg_for(prod_spc, False)
             engn = AddSearch(cfgn, filt, init="host")
             _note("stage B2: non-endo comparison run starting")

@@ -46,36 +46,46 @@ def _rand_fes(rng: np.random.Generator, n: int):
 
 
 def run_bench() -> int:
-    """Per-kernel throughput microbenchmarks with DCE-defeating asserts."""
+    """Per-kernel throughput microbenchmarks of the PRODUCTION forms.
+
+    Every row measures the kernel form the search engines execute: fel
+    limb rows on (X, 8, 128) tiles, fully unrolled on device (the fe
+    padded/scan layer is a CPU-compile compatibility path and is NOT
+    what ships — benching it under-read lane utilization ~8x).  Each
+    row iterates R times inside one jitted lax.fori_loop with a real
+    data dependence between iterations (DCE/loop-hoist defeating) and
+    is forced by a host fetch: per-dispatch latency through the device
+    tunnel is ~27 ms (measured), so at R=512 the dispatch share is <1%.
+    """
     import jax
     import jax.numpy as jnp
-    from . import ecc, fe, golden, hash160
+    from . import ecc, fe, fel, golden, hash160
 
-    B = int(os.environ.get("ECLOOP_BENCH_B", 8192))
-    R = int(os.environ.get("ECLOOP_BENCH_R", 16))
+    on_cpu = jax.default_backend() == "cpu"
+    B = int(os.environ.get("ECLOOP_BENCH_B", 2048 if on_cpu else 131072))
+    R = int(os.environ.get("ECLOOP_BENCH_R", 4 if on_cpu else 512))
+    B -= B % 1024
+    shape = (B // 1024, 8, 128)
     rng = np.random.default_rng(42)
 
-    xs = jnp.asarray(_rand_fes(rng, B))
-    ys = jnp.asarray(_rand_fes(rng, B))
-    ks = jnp.asarray(_rand_fes(rng, B))
-    # valid curve points for point-op benches
-    pts = [golden.point_mul(k) for k in range(2, 2 + 64)]
-    px = jnp.asarray(fe.ints_to_limbs([p[0] for p in pts] * (B // 64)))
-    py = jnp.asarray(fe.ints_to_limbs([p[1] for p in pts] * (B // 64)))
-    qx = jnp.roll(px, 1, axis=0)
-    qy = jnp.roll(py, 1, axis=0)
-    one = jnp.broadcast_to(jnp.asarray(fe.ONE), px.shape)
+    def rand_rows():
+        return tuple(jnp.asarray(
+            rng.integers(0, 1 << 16, size=shape, dtype=np.uint32))
+            for _ in range(16))
 
-    def loop(body):
+    a_rows, b_rows = rand_rows(), rand_rows()
+
+    def loop(body, r=None):
+        r = R if r is None else r
         def fn(*args):
-            def it(_, a):
-                return body(*a)
-            return jax.lax.fori_loop(0, R, it, args)
-        return jax.jit(fn)
+            def it(_, args_):
+                return body(*args_)
+            return jax.lax.fori_loop(0, r, it, args)
+        return jax.jit(fn), r
 
     plat = jax.devices()[0].platform
-    print(f"# device: {plat} x{len(jax.devices())} ~ B={B} R={R}",
-          flush=True)
+    print(f"# device: {plat} x{len(jax.devices())} ~ B={B} R={R} "
+          f"(production fel-rows forms)", flush=True)
     from . import sol
     try:
         vpu, _ = sol.peaks()
@@ -95,14 +105,14 @@ def run_bench() -> int:
         else:
             print(f"{name:42s}: {mits:10.3f} M it/s", flush=True)
 
-    def bench(name, fn, args, per_call, trace=None):
-        """trace=(fn1, args1): single-iteration form of the SAME kernel
-        being measured — traced for its ops/elem budget so the
-        %-of-peak column's numerator and denominator describe one
-        implementation (ADVICE r2: dividing the padded/scan fe kernels
-        by the unrolled fel budgets skewed the utilization)."""
+    def bench(name, fn_r, args, per_call, trace=None):
+        """fn_r = (jitted fn, loop count).  trace=(fn1, args1): a
+        single-iteration form of the SAME kernel being measured —
+        traced for its ops/elem budget so the %-of-peak column's
+        numerator and denominator describe one implementation."""
+        fn, r = fn_r
         t0 = time.perf_counter()
-        r = _rate(fn, *args)
+        rate = _rate(fn, *args)
         ops = None
         if trace is not None:
             try:
@@ -110,79 +120,140 @@ def run_bench() -> int:
                                           elems=per_call)
             except Exception:  # pragma: no cover — never block the bench
                 ops = None
-        emit(name, r * R * per_call / 1e6, ops)
+        emit(name, rate * r * per_call / 1e6, ops)
         if os.environ.get("ECLOOP_BENCH_VERBOSE"):
             print(f"  [{name}: total {time.perf_counter() - t0:.1f}s]",
                   flush=True)
 
-    bench("fe_modp_mul", loop(lambda a, b: (fe.mul_mod_p(a, b), b)),
-          (xs, ys), B, trace=(fe.mul_mod_p, (xs, ys)))
-    bench("fe_modp_sqr", loop(lambda a: (fe.sqr_mod_p(a),)), (xs,), B,
-          trace=(fe.sqr_mod_p, (xs,)))
-    bench("fe_modp_inv (fermat chain)",
-          loop(lambda a: (fe.inv_mod_p(a),)), (xs,), B)
-    bench("fe_modp_grpinv (batched)",
-          loop(lambda a: (fe.inv_mod_p_batch(a, lanes=1024),)), (xs,), B)
+    def fold16(rows, words):
+        """XOR a shorter word list into 16 limb rows, staying in the
+        16-bit limb domain — a data dependence the loop cannot hoist."""
+        m = np.uint32(0xFFFF)
+        return tuple((r ^ (words[i % len(words)] & m))
+                     for i, r in enumerate(rows))
 
-    bench("ec_affine_add (chord, amortized inv)",
-          loop(lambda ax, ay, bx, by:
-               ecc.batch_affine_add(ax, ay, bx, by, lanes=1024) + (bx, by)),
-          (px, py, qx, qy), B,
-          trace=(lambda ax, ay, bx, by:
-                 ecc.batch_affine_add(ax, ay, bx, by, lanes=1024),
-                 (px, py, qx, qy)))
-    bench("ec_proj_add",
+    bench("fe_mul (rows)", loop(lambda a, b: (fel.mul_mod(a, b), b)),
+          (a_rows, b_rows), B, trace=(fel.mul_mod, (a_rows, b_rows)))
+    bench("fe_sqr (rows)", loop(lambda a: (fel.sqr_mod(a),)), (a_rows,), B,
+          trace=(fel.sqr_mod, (a_rows,)))
+    bench("fe_inv (fermat chain)",
+          loop(lambda a: (fel.inv_mod(a),), r=max(1, R // 64)),
+          (a_rows,), B)
+    lanes_inv = min(4096, B)
+    bench(f"fe_grpinv (batched, lanes={lanes_inv})",
+          loop(lambda a: (fel.inv_mod_batch(
+              tuple(r.reshape(-1) for r in a), lanes=lanes_inv),),
+              r=max(1, R // 16)),
+          (tuple(r.reshape(-1) for r in a_rows),), B)
+
+    # the production chord pair: one inverse batch amortized over the
+    # +/- mirror halves (search/add.py make_step)
+    def chord(px_, py_, qx_, qy_, idx_):
+        xp, yp = ecc.affine_add_rows(px_, py_, qx_, qy_, idx_)
+        xm, ym = ecc.affine_add_rows(px_, py_, qx_, fel.neg_mod(qy_), idx_)
+        return fel.add_mod(xp, xm), fel.add_mod(yp, ym), qx_, qy_, idx_
+    bench("ec_affine_add pair (chord, rows)",
+          loop(lambda px_, py_, qx_, qy_, idx_:
+               chord(px_, py_, qx_, qy_, idx_), r=max(1, R // 8)),
+          (a_rows, b_rows, rand_rows(), rand_rows(), rand_rows()), 2 * B,
+          trace=(lambda px_, py_, qx_, qy_, idx_:
+                 chord(px_, py_, qx_, qy_, idx_)[:2],
+                 (a_rows, b_rows, a_rows, b_rows, a_rows)))
+
+    # projective/jacobian comparison rows (reference bench.c:24-36;
+    # production dispatches v1 just like reference ecc.c:812-815).
+    # These ops live in the fe (..., 16) layout — benched as such,
+    # B padded to full tiles so lane utilization is comparable.
+    Bf = max(1024, B // 16)
+    pts = [golden.point_mul(k) for k in range(2, 2 + 64)]
+    px = jnp.asarray(fe.ints_to_limbs([p[0] for p in pts] * (Bf // 64)))
+    py = jnp.asarray(fe.ints_to_limbs([p[1] for p in pts] * (Bf // 64)))
+    qx = jnp.roll(px, 1, axis=0)
+    qy = jnp.roll(py, 1, axis=0)
+    one = jnp.broadcast_to(jnp.asarray(fe.ONE), px.shape)
+    Rf = max(1, R // 8)
+    bench("ec_proj_add (v1)",
           loop(lambda ax, ay, az, bx, by:
-               ecc.proj_add(ax, ay, az, bx, by, az) + (bx, by)),
-          (px, py, one, qx, qy), B)
-    bench("ec_proj_dbl",
-          loop(lambda ax, ay, az: ecc.proj_dbl(ax, ay, az)),
-          (px, py, one), B)
-    # v2 jacobian rows, mirroring the reference's add2/dbl2 comparison
-    # (lib/bench.c:33-36; production dispatches the projective v1 ops,
-    # same choice as reference ecc.c:812-815)
+               ecc.proj_add(ax, ay, az, bx, by, az) + (bx, by), r=Rf),
+          (px, py, one, qx, qy), Bf)
+    bench("ec_proj_dbl (v1)",
+          loop(lambda ax, ay, az: ecc.proj_dbl(ax, ay, az), r=Rf),
+          (px, py, one), Bf)
     bench("ec_jac_add (v2)",
           loop(lambda ax, ay, az, bx, by:
-               ecc.jac_add(ax, ay, az, bx, by, az) + (bx, by)),
-          (px, py, one, qx, qy), B)
+               ecc.jac_add(ax, ay, az, bx, by, az) + (bx, by), r=Rf),
+          (px, py, one, qx, qy), Bf)
     bench("ec_jac_dbl (v2)",
-          loop(lambda ax, ay, az: ecc.jac_dbl(ax, ay, az)),
-          (px, py, one), B)
+          loop(lambda ax, ay, az: ecc.jac_dbl(ax, ay, az), r=Rf),
+          (px, py, one), Bf)
 
-    Bm = min(B, 1024)
-    # heavy enough per call that dispatch amortizes without the fori wrapper
-    r = _rate(jax.jit(ecc.scalar_mul), ks[:Bm])
-    emit("ec_scalar_mul (double-and-add)", r * Bm / 1e6, None)
+    ks = jnp.asarray(_rand_fes(rng, Bf))
+    bench("ec_scalar_mul (double-and-add)",
+          loop(lambda k: (fe.select((ecc.scalar_mul(k)[0][:, 0] & 1) == 1,
+                                    k, jnp.roll(k, 1, axis=0)),),
+               r=max(1, R // 256)),
+          (ks,), Bf)
 
+    # production gtable window scan (w=14), fel rows + incomplete adds
+    # below the top window — exactly search/mul.make_mul_step's math
     from .search.mul import build_gtable, window_indices
     w = int(os.environ.get("ECLOOP_GTABLE_W", 14))
     tx, ty = build_gtable(w)
     keys = [int.from_bytes(rng.bytes(32), "little") % golden.N
-            for k in range(Bm)]
+            for _ in range(B)]
     idx = jnp.asarray(window_indices(keys, w).T)
 
-    def gmul(idx_, tx_, ty_):
-        def body(carry, idx_i):
-            qx_, qy_, qz_ = carry
-            gx = jnp.take(tx_, jnp.maximum(idx_i, 0), axis=0)
-            gy = jnp.take(ty_, jnp.maximum(idx_i, 0), axis=0)
-            nx, ny, nz = ecc.proj_add_affine(qx_, qy_, qz_, gx, gy)
-            skip = idx_i < 0
-            return (fe.select(skip, qx_, nx), fe.select(skip, qy_, ny),
-                    fe.select(skip, qz_, nz)), None
-        zeros = jnp.zeros((idx_.shape[1], 16), dtype=jnp.uint32)
-        (ax, ay, az), _ = jax.lax.scan(body, ecc.proj_infinity(zeros), idx_)
-        return ax, ay, az
+    def t3(rows):
+        return tuple(r.reshape(shape) for r in rows)
 
-    r = _rate(jax.jit(gmul), idx, tx, ty)
-    emit("ec_gtable_mul (w=%d)" % w, r * Bm / 1e6, None)
+    def gmul(qx_, qy_, qz_, idx_):
+        def mk_body(complete):
+            def body(carry, idx_i):
+                cx_, cy_, cz_ = carry
+                gx = t3(fel.from_last(
+                    jnp.take(tx, jnp.maximum(idx_i, 0), axis=0)))
+                gy = t3(fel.from_last(
+                    jnp.take(ty, jnp.maximum(idx_i, 0), axis=0)))
+                nx, ny, nz = ecc.proj_add_affine_rows(
+                    cx_, cy_, cz_, gx, gy, complete=complete)
+                skip = (idx_i < 0).reshape(shape)
+                return (fel.select(skip, cx_, nx),
+                        fel.select(skip, cy_, ny),
+                        fel.select(skip, cz_, nz)), None
+            return body
+        # chain iterations through the start point (valid work, not
+        # hoistable); production starts from infinity, same op count
+        carry, _ = jax.lax.scan(mk_body(False), (qx_, qy_, qz_), idx_[:-1])
+        (ax, ay, az), _ = mk_body(True)(carry, idx_[-1])
+        return ax, ay, az, idx_
+    bench("ec_gtable_mul (w=%d, rows)" % w,
+          loop(lambda qx_, qy_, qz_, idx_: gmul(qx_, qy_, qz_, idx_),
+               r=max(1, R // 128)),
+          (a_rows, b_rows, rand_rows(), idx), B)
 
-    bench("addr33 (hash160 compressed)",
-          loop(lambda x, y: (hash160.addr33_hash(x, y), y)), (px, py), B,
-          trace=(hash160.addr33_hash, (px, py)))
-    bench("addr65 (hash160 uncompressed)",
-          loop(lambda x, y: (hash160.addr65_hash(x, y), y)), (px, py), B,
-          trace=(hash160.addr65_hash, (px, py)))
+    bench("addr33 (hash160 compressed, rows)",
+          loop(lambda x, y: (fold16(x, hash160.addr33_hash_rows(x, y)), y)),
+          (a_rows, b_rows), B,
+          trace=(hash160.addr33_hash_rows, (a_rows, b_rows)))
+    bench("addr65 (hash160 uncompressed, rows)",
+          loop(lambda x, y: (fold16(x, hash160.addr65_hash_rows(x, y)), y)),
+          (a_rows, b_rows), B,
+          trace=(hash160.addr65_hash_rows, (a_rows, b_rows)))
+
+    # device prefilter probe (pow2 bloom over a 2^16-bit array — the
+    # hash-list mode's prefilter, bloom.probe_pow2)
+    from . import bloom
+    bits = jnp.asarray(np.asarray(
+        rng.integers(0, 1 << 32, size=1 << 11, dtype=np.uint64))
+        .astype(np.uint32))
+    bench("bloom probe_pow2 (2 probes, rows)",
+          loop(lambda x: (fold16(
+              x, [bloom.probe_pow2(list(x[:5]), bits, log2_bits=16,
+                                   nprobes=2).astype(jnp.uint32)]),)),
+          (a_rows,), B,
+          trace=(lambda x: bloom.probe_pow2(list(x[:5]), bits,
+                                            log2_bits=16, nprobes=2),
+                 (a_rows,)))
 
     if vpu and os.environ.get("ECLOOP_BENCH_SOL", "1") == "1":
         from .search.common import SearchConfig

@@ -50,8 +50,26 @@ class Filter:
         if self.mode == "bloom":
             return bloom.probe_exact(h_words, bits, nbits=self.blf.nbits,
                                      nprobes=self.blf_probes)
+        if self._use_cmp():
+            # small target lists: broadcast-compare the first hash word
+            # against every target's first word.  TPU gathers cost ~7+
+            # cycles/element while a K-wide vector compare streams at
+            # VPU rate, so for K <= ~1k this beats the 2-probe pow2
+            # bloom AND has a lower false-positive rate (K/2^32 per key
+            # vs ~1e-5); the host exact check absorbs both kinds.
+            h0 = (h_words[0] if isinstance(h_words, (list, tuple))
+                  else h_words[..., 0])
+            t0 = jnp.asarray(np.unique(self.targets[:, 0]))
+            return (h0[..., None] == t0).any(axis=-1)
         return bloom.probe_pow2(h_words, bits, log2_bits=self.pow2_log2,
                                 nprobes=self.pow2_probes)
+
+    def _use_cmp(self) -> bool:
+        import os
+        if self.mode != "list":
+            return False
+        mx = int(os.environ.get("ECLOOP_CMP_MAX", 2048))
+        return len(self.targets) <= mx
 
     # --- host side (authoritative) ---
     def confirm(self, h160_bytes: bytes) -> bool:

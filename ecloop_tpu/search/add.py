@@ -192,13 +192,16 @@ def make_step(cfg: SearchConfig, filt: Filter):
         emap = {0: (0, 0), 1: (0, 1), 2: (1, 0), 3: (1, 1), 4: (2, 0),
                 5: (2, 1)}
 
-        # ECLOOP_PALLAS_HASH=1 opts into the fused Pallas hash kernel;
-        # measured equal to the XLA-fused pipeline within noise
-        # (tools/exp_hash_pallas.py), so XLA (which can also fuse the
-        # chord outputs into the serialization) stays the default.
+        # Fused Pallas hash kernel: default ON where Pallas runs.  With
+        # fori-amortized timing (tools/exp_hash_probe.py — the earlier
+        # "equal within noise" readings measured dispatch latency, not
+        # execution) the Pallas form is 27% faster for addr33 (774 vs
+        # 1065 us/131k) and 30% for addr65.  ECLOOP_PALLAS_HASH=0 opts
+        # back into the XLA pipeline.
         import os
-        pallas_hash = (use_pallas and os.environ.get("ECLOOP_PALLAS_HASH")
-                       == "1" and xs[0][0].size % 1024 == 0)
+        pallas_hash = (use_pallas and os.environ.get("ECLOOP_PALLAS_HASH",
+                                                     "1") != "0"
+                       and xs[0][0].size % 1024 == 0)
         masks = []
         for e, is33 in variants:
             xv, yv = emap[e]

@@ -19,16 +19,23 @@ Counts are exact for the traced graph (scan bodies multiplied by trip
 count); XLA's CSE can only reduce them, so utilization is conservative
 (reported utilization <= true hardware utilization).
 
-Peak numbers: the VPU is an (8, 128) grid = 1024 lanes; the peak used
-here is **1 int32 op per lane per cycle** (lanes x clock).  Round 3
-measured this directly on the v5e (tools/exp_vpu_slope.py: deep
-data-dependent u32 chains — x = x*x + c, x = x ^ (x >> 1) — that XLA
-cannot fold, forced with a host fetch): sustained ~740 G u32 ops/s
-~= 0.77 ops/lane/cycle, against 0.96 T theoretical at 0.94 GHz.  The
-earlier 4-ALUs-per-lane assumption (3.85 T) overstated the ceiling 4x
-and made the engine look ~12% efficient when it actually runs at ~half
-of what the hardware sustains.  Override with ECLOOP_VPU_PEAK /
-ECLOOP_HBM_PEAK (ops/s, bytes/s) for unlisted hardware.
+Peak numbers: the VPU is an (8, 128) grid = 1024 lanes with multiple
+int ALUs per lane; the peak used here is **4 int32 ops per lane per
+cycle** (3.85 T at 0.94 GHz on v5e).  Two calibrations bracket it:
+  * serial DEPENDENT u32 chains (tools/exp_vpu_slope.py: x = x*x + c,
+    forced with a host fetch) sustain ~740 G ops/s = 0.77 ops/lane/
+    cycle — that is the latency-bound floor (one op at a time per
+    lane), NOT the issue-width ceiling;
+  * the production step, whose SHA/RMD rounds and 16-limb products
+    have abundant instruction-level parallelism, streams >1.3 T
+    traced-ops/s end-to-end (2.04 ms for a 131k-key endo step, round
+    3) — only possible with multi-issue lanes, which is why the
+    round-3 interim "1 op/lane/cycle" model (calibrated on the serial
+    chain) under-stated the ceiling and over-stated utilization.
+Utilization printed against the 4-issue peak is therefore conservative
+in the other direction: a kernel with little ILP (long carry chains)
+cannot reach it.  Override with ECLOOP_VPU_PEAK / ECLOOP_HBM_PEAK
+(ops/s, bytes/s) for unlisted hardware.
 """
 
 from __future__ import annotations
@@ -49,8 +56,9 @@ _KNOWN = {
     "v3": (0.94, 900),
     "v2": (0.70, 700),
 }
-_VPU_SLOTS = 8 * 128              # sublanes x lanes, 1 int32 op/cycle
-                                  # (measured, see module docstring)
+_VPU_SLOTS = 8 * 128 * 4          # sublanes x lanes x 4-issue ALUs
+                                  # (see module docstring for the two
+                                  # bracketing calibrations)
 
 
 def peaks(device=None) -> tuple[float, float]:
@@ -184,6 +192,12 @@ def _leaf_budgets_native(ecc, hash160) -> dict[str, float]:
         lambda hw: bloom.probe_exact(hw, bits, 8294400, 3), h, elems=n)
     out["probe_pow2"] = ops_per_element(
         lambda hw: bloom.probe_pow2(hw, bits, 23, 2), h, elems=n)
+    # list-mode compare prefilter (filters.Filter._use_cmp): one
+    # equality per target first-word + an any-reduce; K=160 is the
+    # puzzle fixture size
+    t0 = jax.numpy.zeros(160, dtype=jax.numpy.uint32)
+    out["probe_cmp"] = ops_per_element(
+        lambda hw: (hw[..., 0, None] == t0).any(-1), h, elems=n)
     z = _rows(shape)
     out["proj_add_affine"] = ops_per_element(
         lambda x1, y1, z1, x2, y2: ecc.proj_add_affine_rows(
@@ -292,11 +306,13 @@ def mul_ceiling(cfg, w: int, leaf: dict[str, float] | None = None,
 
 
 def report(cfg, measured_keys_per_sec: float | None = None,
-           device=None) -> str:
-    """Human-readable speed-of-light breakdown for the add-mode step."""
+           device=None, probe: str = "probe_cmp") -> str:
+    """Human-readable speed-of-light breakdown for the add-mode step.
+    probe defaults to the list-mode compare prefilter (the headline
+    bench's filter is the 160-entry puzzle list)."""
     vpu, _ = peaks(device)
     leaf = leaf_budgets()
-    b = step_budget(cfg, leaf)
+    b = step_budget(cfg, leaf, probe=probe)
     lines = [
         f"# speed-of-light budget (VPU peak {vpu / 1e12:.2f} T int32-ops/s)",
         f"{'leaf kernel':24s} {'ops/elem':>10s}",

@@ -105,11 +105,22 @@ def run_bench() -> int:
         else:
             print(f"{name:42s}: {mits:10.3f} M it/s", flush=True)
 
+    only = [s.strip() for s in
+            os.environ.get("ECLOOP_BENCH_ONLY", "").split(",") if s.strip()]
+
+    def want(name: str) -> bool:
+        """Row filter (ECLOOP_BENCH_ONLY=fe_mul,addr33): lets tests and
+        quick looks run single rows without paying every row's XLA:CPU
+        compile."""
+        return not only or any(s in name for s in only)
+
     def bench(name, fn_r, args, per_call, trace=None):
         """fn_r = (jitted fn, loop count).  trace=(fn1, args1): a
         single-iteration form of the SAME kernel being measured —
         traced for its ops/elem budget so the %-of-peak column's
         numerator and denominator describe one implementation."""
+        if not want(name):
+            return
         fn, r = fn_r
         t0 = time.perf_counter()
         rate = _rate(fn, *args)
@@ -198,10 +209,13 @@ def run_bench() -> int:
     # below the top window — exactly search/mul.make_mul_step's math
     from .search.mul import build_gtable, window_indices
     w = int(os.environ.get("ECLOOP_GTABLE_W", 14))
-    tx, ty = build_gtable(w)
-    keys = [int.from_bytes(rng.bytes(32), "little") % golden.N
-            for _ in range(B)]
-    idx = jnp.asarray(window_indices(keys, w).T)
+    if want("ec_gtable_mul"):
+        tx, ty = build_gtable(w)
+        keys = [int.from_bytes(rng.bytes(32), "little") % golden.N
+                for _ in range(B)]
+        idx = jnp.asarray(window_indices(keys, w).T)
+    else:
+        tx = ty = idx = None
 
     def t3(rows):
         return tuple(r.reshape(shape) for r in rows)
@@ -374,7 +388,9 @@ def mult_verify(count: int | None = None) -> int:
     count = count or int(os.environ.get("ECLOOP_VERIFY_N", 16000))
     B = min(count, 2048)
     rng = np.random.default_rng(1337)
-    w = 14
+    # ECLOOP_VERIFY_W: smaller widths keep the CPU test path cheap; the
+    # cross-check math is width-independent (reference uses _GTABLE_W)
+    w = int(os.environ.get("ECLOOP_VERIFY_W", 14))
     tx, ty = build_gtable(w)
 
     daa = jax.jit(lambda k: ecc.scalar_mul(k))

@@ -81,7 +81,7 @@ class Checkpoint:
 
 def config_key_for(cmd: str, cfg, filter_path: str | None,
                    seed: str | None = None) -> dict:
-    return {
+    key = {
         "cmd": cmd,
         "range_s": f"{cfg.range_s:x}",
         "range_e": f"{cfg.range_e:x}",
@@ -92,3 +92,23 @@ def config_key_for(cmd: str, cfg, filter_path: str | None,
         "filter": os.path.abspath(filter_path) if filter_path else None,
         "seed": seed,
     }
+    # multi-host: the cursor is GLOBAL (all processes advance in lockstep
+    # through the same claim plan), but resuming under a different
+    # process topology would re-shard the keyspace mid-range — refuse.
+    import jax
+    if jax.process_count() > 1:
+        key["procs"] = jax.process_count()
+    return key
+
+
+def process_local_path(path: str) -> str:
+    """Per-process checkpoint file for multi-host runs.
+
+    Every process holds the same global cursor, but two processes on a
+    shared filesystem must not race tmp+rename on one file — suffix the
+    path with the process index (single-process runs keep the path
+    verbatim, so the common case is unchanged)."""
+    import jax
+    if jax.process_count() > 1:
+        return f"{path}.p{jax.process_index()}"
+    return path

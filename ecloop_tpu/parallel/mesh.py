@@ -39,9 +39,8 @@ except ImportError:                    # older jax
 from .. import fe, golden
 from ..filters import Filter
 from ..search import common
-from ..search.add import (make_step, points_from_scalars, _cached_table,
-                          _variants, unpack_mask, check_no_degenerate,
-                          RangeDriver)
+from ..search.add import (make_step, _cached_table, _variants, unpack_mask,
+                          check_no_degenerate, RangeDriver)
 from ..search.common import Found, SearchConfig
 from ..search.mul import MulSearch, make_mul_step
 
@@ -135,7 +134,9 @@ class ShardedAddSearch(RangeDriver):
         out = []
         for s in masks.addressable_shards:
             sl = s.index[1]
-            out.append((sl.start or 0, np.asarray(s.data)))
+            # ascontiguousarray: device shards can come back with tiled
+            # strides at small shapes (see add.unpack_mask)
+            out.append((sl.start or 0, np.ascontiguousarray(s.data)))
         # dedupe replicated-shard corner (1-device meshes)
         seen, uniq = set(), []
         for off, w in out:
@@ -151,14 +152,12 @@ class ShardedAddSearch(RangeDriver):
         RangeDriver.run_range, which both engines share)."""
         cfg = self.cfg
         mk = cfg.keys_per_step
-        h = cfg.group_k // 2
         steps = -(-n_keys // mk)
         if steps == 0:
             return []
         check_no_degenerate(cfg, base, steps * mk)
-        keys = [(base + (m * cfg.group_k + h) * cfg.stride) % N
-                for m in range(cfg.centers)]
-        cx, cy = points_from_scalars(keys, self.init_how)
+        self.span_checked = n_keys * (6 if cfg.endo else 1)
+        cx, cy = self._init_centers(base)
         cx, cy = self._shard_centers(cx, cy)
         found = []
         pending = None

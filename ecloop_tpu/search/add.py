@@ -88,7 +88,11 @@ def _use_pallas() -> bool:
 
 
 def unpack_mask(words: np.ndarray) -> np.ndarray:
-    return np.unpackbits(words.view(np.uint8), bitorder="little")
+    # np.asarray of a device array can carry tiled (non-C-contiguous)
+    # strides at small shapes, and .view(np.uint8) then raises
+    # "last axis must be contiguous" — normalize first.
+    return np.unpackbits(np.ascontiguousarray(words).view(np.uint8),
+                         bitorder="little")
 
 
 def make_step(cfg: SearchConfig, filt: Filter):
@@ -326,32 +330,52 @@ class RangeDriver:
 
     cfg: SearchConfig
     k_checked: int
+    # keys actually stepped by the last run_span call (x6 with endo) —
+    # the honest per-span counter for direct run_span callers, who would
+    # otherwise read k_checked == 0 (k_checked is run_range's claim-based
+    # reference-parity counter and run_span never touches it)
+    span_checked: int = 0
 
     def run_span(self, base, n_keys, hit_offsets_valid=None, on_found=None,
                  on_step=None):
         """Search keys base + i*stride, i in [0, n_keys); returns the
-        Found list.  CONTRACT: run_span does NOT touch k_checked —
-        counter accounting is run_range's job (claim-based, reference
-        cmd_add parity).  Direct callers (tools/check_consistency.py,
-        tests) compare found-sets; use run_range when counters matter."""
+        Found list and sets self.span_checked = n_keys * endo_mult.
+        CONTRACT: run_span does NOT touch k_checked — counter accounting
+        is run_range's job (claim-based, reference cmd_add parity)."""
         raise NotImplementedError
 
+    def _init_centers(self, base: int):
+        """Affine points of the M group centers for a span starting at
+        `base` (layout doc at module top) — shared by both engines so
+        the key->lane mapping is chip-count independent."""
+        cfg = self.cfg
+        h = cfg.group_k // 2
+        keys = [(base + (m * cfg.group_k + h) * cfg.stride) % N
+                for m in range(cfg.centers)]
+        return points_from_scalars(keys, self.init_how)
+
     def run_range(self, on_found=None, on_progress=None, start_offset: int = 0,
-                  on_step=None) -> list[Found]:
+                  on_step=None, range_s: int | None = None,
+                  range_e: int | None = None) -> list[Found]:
         """start_offset: resume cursor — skip the first `start_offset`
         keys (checkpoint.py); on_step(abs_keys_done) reports cumulative
-        progress in absolute key offsets from range_s."""
+        progress in absolute key offsets from range_s.  range_s/range_e
+        override cfg's bounds for this call (rnd mode's per-iteration
+        sub-ranges — the bounds never participate in the compiled step
+        graph or the precomputed tables, so the engine is reusable
+        across sub-ranges without mutating shared cfg)."""
         cfg = self.cfg
-        job = cfg.job_size or common.derive_job_size(cfg.range_s, cfg.range_e)
-        claims = list(common.plan_claims(cfg.range_s, cfg.range_e, job,
-                                         cfg.stride))
+        rs = cfg.range_s if range_s is None else range_s
+        re_ = cfg.range_e if range_e is None else range_e
+        job = cfg.job_size or common.derive_job_size(rs, re_)
+        claims = list(common.plan_claims(rs, re_, job, cfg.stride))
         if not claims:
             return []
         # contiguous claims -> one span; coverage windows may overlap
         span_keys = 0
         windows = []
         for c in claims:
-            off = (c.start - cfg.range_s) // cfg.stride
+            off = (c.start - rs) // cfg.stride
             windows.append((off, off + c.coverage))
             span_keys = max(span_keys, off + c.coverage)
             self.k_checked += c.job * (6 if cfg.endo else 1)
@@ -363,7 +387,7 @@ class RangeDriver:
             return any(a <= off + start_offset < b for a, b in windows)
 
         found = self.run_span(
-            (cfg.range_s + start_offset * cfg.stride) % common.N,
+            (rs + start_offset * cfg.stride) % common.N,
             span_keys - start_offset, hit_offsets_valid=valid,
             on_found=on_found,
             on_step=(lambda done: on_step(start_offset + done))
@@ -393,13 +417,6 @@ class AddSearch(RangeDriver):
         self.k_checked = 0
         self.k_found = 0
 
-    def _init_centers(self, base: int):
-        cfg = self.cfg
-        h = cfg.group_k // 2
-        keys = [(base + (m * cfg.group_k + h) * cfg.stride) % N
-                for m in range(cfg.centers)]
-        return points_from_scalars(keys, self.init_how)
-
     def run_span(self, base: int, n_keys: int, hit_offsets_valid=None,
                  on_found=None, on_step=None) -> list[Found]:
         """Search keys base + i*stride for i in [0, n_keys).
@@ -414,6 +431,7 @@ class AddSearch(RangeDriver):
         t_ = max(1, cfg.steps_per_call)
         calls = -(-(-(-n_keys // mk)) // t_)
         check_no_degenerate(cfg, base, calls * t_ * mk)
+        self.span_checked = n_keys * (6 if cfg.endo else 1)
         cx, cy = self._init_centers(base)
         found = []
         pending = None          # (first step idx, device masks) unfetched

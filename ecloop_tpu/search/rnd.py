@@ -162,17 +162,11 @@ class RndSearch:
                 continue
             if on_range:
                 on_range(lo, hi)   # mask print happens BEFORE the search
-            sub = SearchConfig(**{**self.cfg.__dict__,
-                                  "range_s": lo, "range_e": hi})
-            # swapping cfg in place is sound ONLY because range bounds
-            # do not participate in the engine's compiled step graph /
-            # precomputed tables; pin that invariant
-            for f in ("centers", "group_k", "lanes", "steps_per_call",
-                      "stride_offs", "addr33", "addr65", "endo"):
-                assert getattr(sub, f) == getattr(self.engine.cfg, f), \
-                    f"rnd sub-range changed engine geometry field {f}"
-            self.engine.cfg = sub
-            got = self.engine.run_range(on_found=on_found)
+            # per-iteration bounds go through run_range's range override
+            # (the engine's compiled step graph and tables are range-
+            # independent, so one engine serves every sub-range)
+            got = self.engine.run_range(on_found=on_found,
+                                        range_s=lo, range_e=hi)
             found.extend(got)
             iters += 1
             if on_iter:

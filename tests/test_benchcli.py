@@ -1,0 +1,105 @@
+"""CLI coverage for the bench/verify subcommands + mask-drain regression.
+
+VERDICT r3 #7: `bench`, `bench-gtable`, `mult-verify` are three of the
+eight subcommands (reference lib/bench.c:17-166, exercised there via
+make targets, Makefile:37-47); without tests they can rot unnoticed.
+Budgets are tiny (row filters, w=4 tables, 64 scalars) so the whole
+module stays CPU-cheap.
+"""
+
+import numpy as np
+import pytest
+
+
+def test_unpack_mask_non_contiguous():
+    """Regression (VERDICT r3 weak #1, reproduced on the live TPU):
+    np.asarray of a small device mask comes back with tiled non-C-
+    contiguous strides, and .view(np.uint8) on that raised ValueError,
+    crashing the first hit drain at tiny geometry."""
+    from ecloop_tpu.search.add import unpack_mask
+
+    words = np.arange(16, dtype=np.uint32).reshape(4, 4).T  # transposed view
+    assert not words.flags["C_CONTIGUOUS"]
+    got = unpack_mask(words)
+    want = np.unpackbits(np.ascontiguousarray(words).view(np.uint8),
+                         bitorder="little")
+    assert np.array_equal(got, want)
+
+    # sliced leading axis (exactly what _handle_hits passes: masks[v])
+    stack = np.arange(32, dtype=np.uint32).reshape(2, 4, 4)
+    assert np.array_equal(unpack_mask(stack[1]),
+                          np.unpackbits(stack[1].copy().view(np.uint8),
+                                        bitorder="little"))
+
+
+def test_bench_cli_runs_filtered_rows(monkeypatch, capsys):
+    """`ecloop bench` end-to-end with a row filter: the CLI path, the
+    fori-loop measurement harness and the emit format all execute."""
+    monkeypatch.setenv("ECLOOP_BENCH_B", "1024")
+    monkeypatch.setenv("ECLOOP_BENCH_R", "2")
+    monkeypatch.setenv("ECLOOP_BENCH_ONLY", "fe_mul,bloom")
+    monkeypatch.setenv("ECLOOP_BENCH_SOL", "0")
+    monkeypatch.setenv("ECLOOP_CACHE_DIR", "")
+    from ecloop_tpu.cli import main
+
+    assert main(["ecloop", "bench"]) == 0
+    out = capsys.readouterr().out
+    assert "fe_mul (rows)" in out
+    assert "M it/s" in out
+    assert "addr33" not in out          # filtered out
+
+
+def test_bench_gtable_cli_sweep(monkeypatch, capsys, tmp_path):
+    """`ecloop bench-gtable` at w=4: table build + the production
+    window-scan measurement + the ceiling column path."""
+    monkeypatch.setenv("ECLOOP_GTABLE_WS", "4")
+    monkeypatch.setenv("ECLOOP_BENCH_B", "64")
+    monkeypatch.setenv("ECLOOP_CACHE_DIR", str(tmp_path))
+    from ecloop_tpu.cli import main
+
+    assert main(["ecloop", "bench-gtable"]) == 0
+    out = capsys.readouterr().out
+    assert "MUL_RATE" in out
+    # w=4: d=64 windows x 15 points
+    assert "960" in out.replace(",", "")
+
+
+def test_mult_verify_cli(monkeypatch, capsys, tmp_path):
+    """`ecloop mult-verify`: double-and-add vs gtable cross-check on 64
+    random scalars (reference mult_verify, bench.c:143-166)."""
+    monkeypatch.setenv("ECLOOP_VERIFY_N", "64")
+    monkeypatch.setenv("ECLOOP_VERIFY_W", "4")
+    monkeypatch.setenv("ECLOOP_CACHE_DIR", str(tmp_path))
+    from ecloop_tpu.search.mul import build_gtable
+    build_gtable.cache_clear()
+    from ecloop_tpu.cli import main
+
+    assert main(["ecloop", "mult-verify"]) == 0
+    out = capsys.readouterr().out
+    assert "OK: all multiplications verified" in out
+    build_gtable.cache_clear()
+
+
+def test_mult_verify_catches_mismatch(monkeypatch, capsys, tmp_path):
+    """The cross-check must FAIL when one path is wrong: corrupt one
+    gtable entry and require exit code 1 (the reference exits 1 on
+    mismatch, bench.c:158-164)."""
+    monkeypatch.setenv("ECLOOP_VERIFY_N", "64")
+    monkeypatch.setenv("ECLOOP_VERIFY_W", "4")
+    monkeypatch.setenv("ECLOOP_CACHE_DIR", str(tmp_path))
+    import jax.numpy as jnp
+    from ecloop_tpu.search import mul as mulmod
+
+    mulmod.build_gtable.cache_clear()
+    real_tx, real_ty = mulmod.build_gtable(4)
+
+    def corrupt(w=4, lanes=1024, how="auto"):
+        bad = real_tx.at[0, 0].set(real_tx[0, 0] ^ jnp.uint32(1))
+        return bad, real_ty
+
+    monkeypatch.setattr(mulmod, "build_gtable", corrupt)
+    # benchlib imports build_gtable by name at call time
+    from ecloop_tpu import benchlib
+    assert benchlib.mult_verify() == 1
+    out = capsys.readouterr().out
+    assert "FAILED" in out

@@ -15,11 +15,12 @@ import sys
 import time
 
 STAGES = [
-    ("bench", "bench.py headline (writes BENCH_LAST_GOOD.json)"),
     ("add_vector", "golden add vector: 9 keys over -r 8000:ffffff"),
     ("mul_vector", "golden mul vector: 1080 keys from data/btc-bw-priv"),
     ("blf_roundtrip", "blf-gen + search through the .blf path"),
     ("tpu_tests", "pytest on device (ECLOOP_TEST_TPU=1, incl. Pallas)"),
+    ("bench", "bench.py headline incl. mul + sharding stages "
+              "(writes BENCH_LAST_GOOD.json)"),
     ("bench_micro", "per-kernel microbench (bench cmd)"),
     ("bench_gtable", "gtable width sweep (bench-gtable)"),
 ]

@@ -5,10 +5,16 @@
 ECLOOP ?= python3 -m ecloop_tpu
 PYTEST ?= python3 -m pytest
 
-.PHONY: test add mul rnd blf verify bench bench-gtable clean native
+.PHONY: test test-all add mul rnd blf verify bench bench-gtable clean native
 
 test:
 	$(PYTEST) tests/ -x -q
+
+# everything the default run gates off: sharded-engine parity (10+
+# min/core each), the 2-process jax.distributed test, and the
+# TPU-production graph forms forced on CPU
+test-all:
+	ECLOOP_RUN_SLOW=1 ECLOOP_TEST_MULTIHOST=1 $(PYTEST) tests/ -x -q
 
 # reference `make add`: must find 9 keys over 16,777,216 checked
 add:

@@ -412,8 +412,20 @@ def scalar_mul(k_limbs, px=None, py=None):
         return (ax, ay, az, bx, by, bz), None
 
     init = (ax, ay, az, bx, by, bz)
-    (ax, ay, az, _, _, _), _ = jax.lax.scan(
-        step, init, jnp.arange(256, dtype=jnp.int32))
+    # Outside jit on CPU, lax.scan would still XLA-compile its whole
+    # 256-iteration body as one computation (minutes on one core); a
+    # Python loop dispatches the cached per-op executables instead.
+    # Under a trace (jit/shard_map callers) keep lax.scan — unrolling
+    # 256 projective adds into the graph is the pathological case.
+    from .search.add import _use_jit
+    if isinstance(k_limbs, jax.core.Tracer) or _use_jit():
+        (ax, ay, az, _, _, _), _ = jax.lax.scan(
+            step, init, jnp.arange(256, dtype=jnp.int32))
+    else:
+        carry = init
+        for i in range(256):
+            carry, _ = step(carry, i)
+        ax, ay, az = carry[:3]
     return ax, ay, az
 
 

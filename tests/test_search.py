@@ -6,6 +6,8 @@ full device pipeline (points -> hash160 -> filter probe -> host verify),
 and require the exact found set.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -171,12 +173,23 @@ def test_brainwallet_vector_subset():
     assert all(f.label in ("addr33", "addr65") for f in found)
 
 
-def test_sharded_parity_with_single_device():
-    """Chip-count independence of the found set (reference multi-host
-    consistency, SURVEY.md §4.4) over a virtual 8-device CPU mesh."""
+def _require_slow_sharded():
+    """The three sharded-engine parity tests each burn 10+ min of eager
+    8-device shard_map dispatch on a 1-core box (VERDICT r3 weak #4).
+    They run when ECLOOP_RUN_SLOW=1 (CI's slow stage, `make test-all`)
+    — multi-device coverage in the default loop is the driver's
+    dryrun_multichip plus test_sharded_degenerate_guard."""
     import jax
     if len(jax.devices()) < 2:
         pytest.skip("needs multi-device platform")
+    if os.environ.get("ECLOOP_RUN_SLOW") != "1":
+        pytest.skip("slow sharded parity test; set ECLOOP_RUN_SLOW=1")
+
+
+def test_sharded_parity_with_single_device():
+    """Chip-count independence of the found set (reference multi-host
+    consistency, SURVEY.md §4.4) over a virtual 8-device CPU mesh."""
+    _require_slow_sharded()
     from ecloop_tpu.parallel.mesh import ShardedAddSearch, make_mesh
 
     targets = [0x60000 + 9, 0x60000 + 777, 0x603F0]
@@ -262,9 +275,7 @@ def test_sharded_run_range_counter_and_found_parity():
     single-device and sharded engines: identical k_checked AND found set
     on a range that is NOT a multiple of keys_per_step (VERDICT r1 #4;
     reference cmd_add_worker accounting, main.c:405-435)."""
-    import jax
-    if len(jax.devices()) < 2:
-        pytest.skip("needs multi-device platform")
+    _require_slow_sharded()
     from ecloop_tpu.parallel.mesh import ShardedAddSearch, make_mesh
 
     # range of 0x2A7 keys: not step-aligned (keys_per_step = 8*32 = 256)
@@ -310,9 +321,7 @@ def test_sharded_degenerate_guard():
 def test_sharded_mul_parity_with_single_device():
     """Mul mode sharded over the mesh: same found set as single device
     (VERDICT r1 #2; reference cmd_mul_worker, main.c:456-576)."""
-    import jax
-    if len(jax.devices()) < 2:
-        pytest.skip("needs multi-device platform")
+    _require_slow_sharded()
     from ecloop_tpu.parallel.mesh import ShardedMulSearch, make_mesh
 
     keys = [3, 0xDEADBEEF, 0x123456789ABCDEF, golden.N - 5]

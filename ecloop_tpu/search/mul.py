@@ -261,8 +261,22 @@ def make_mul_step(cfg: SearchConfig, filt: Filter, w: int, batch: int):
                                              lanes=min(cfg.lanes, batch),
                                              use_pallas=use_pallas)
 
-        h33f = hash160.addr33_hash_rows
-        h65f = hash160.addr65_hash_rows
+        # Fused Pallas hash on TPU, like add.make_step: 27-30% faster
+        # than the XLA pipeline AND keeps the fully-unrolled SHA/RMD
+        # rounds out of the XLA graph — the mul step's cold compile
+        # through the remote relay exceeded 30 min with them inlined
+        # (r4 evidence run, stage mul_vector rc=124).
+        import os
+        pallas_hash = (use_pallas
+                       and os.environ.get("ECLOOP_PALLAS_HASH", "1") != "0"
+                       and batch % 1024 == 0)
+        if pallas_hash:
+            from .. import pallas_kernels
+            h33f = pallas_kernels.addr33_hash_rows_pallas
+            h65f = pallas_kernels.addr65_hash_rows_pallas
+        else:
+            h33f = hash160.addr33_hash_rows
+            h65f = hash160.addr65_hash_rows
         masks = []
         if cfg.addr33:
             masks.append(_pack_mask(filt.device_probe(h33f(ax, ay))))

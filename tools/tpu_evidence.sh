@@ -33,8 +33,11 @@ run device 300 python -c "import jax,sys; d=jax.devices(); print(d[0].platform, 
 run add_vector 1500 python -m ecloop_tpu add -f data/btc-puzzles-hash \
   -r 8000:ffffff -q -o "$OUT/add_found.txt"
 
-# 2. golden mul vector: 1080 keys (reference make mul)
-run mul_vector 1800 bash -c "cat data/btc-bw-priv | python -m ecloop_tpu \
+# 2. golden mul vector: 1080 keys (reference make mul).  2700 s: the
+# cold mul-step compile through the remote relay alone can take >20 min
+# (the r4 first attempt hit rc=124 at 1800 s with the unrolled XLA hash
+# still inlined).
+run mul_vector 2700 bash -c "cat data/btc-bw-priv | python -m ecloop_tpu \
   mul -f data/btc-bw-hash -a cu -q -o '$OUT/mul_found.txt'"
 
 # 3. bloom round-trip (reference make blf)

@@ -306,23 +306,6 @@ def main() -> int:
             record_run("B", rate8, c8, dt8, st8, prod_spc,
                        cfg8.keys_per_step, mult)
 
-        # opt-in spc sweep: comparable windows for every candidate
-        # (settles the steps_per_call default with data, VERDICT r3 #3)
-        if os.environ.get("ECLOOP_BENCH_SPC_SWEEP") and remaining() > 300:
-            for spc_i in (2, 4, 16):
-                if remaining() < 180:
-                    break
-                cfgi = cfg_for(spc_i, endo)
-                engi = AddSearch(cfgi, filt, init="host")
-                ri, ci, dti, sti = _measure(engi, np, max(4, 256 // spc_i),
-                                            spc_i, cfgi.keys_per_step,
-                                            mult, min_window=2.0)
-                _note(f"spc sweep: spc={spc_i}: {ri / 1e6:.1f} Mkeys/s "
-                      f"(compile {ci:.1f}s, measure {dti:.1f}s)")
-                _best = max(_best, (ri, label_for(endo)))
-                record_run(f"spc{spc_i}", ri, ci, dti, sti, spc_i,
-                           cfgi.keys_per_step, mult)
-
         # like-for-like non-endo number for the report (stderr only;
         # the reference's 10.73 M baseline is a plain add run)
         if endo and remaining() > 240:
@@ -375,6 +358,26 @@ def main() -> int:
                   f"{(1 - rs / base_a) * 100:+.1f}%)")
             record_run("D-sharded-1dev", rs, cs, dts, sts, 1,
                        cfgs.keys_per_step, mult)
+
+        # opt-in spc sweep LAST — it is diagnostics, not a deliverable,
+        # and in the r4 evidence run it ran before C/D and ate their
+        # budget.  (r4 data, all >=3.5 s windows: spc 2/4/8/16 =
+        # 405.2/406.5/407.7/404.2 Mkeys/s — the shipped default 8 is
+        # the measured best, VERDICT r3 #3.)
+        if os.environ.get("ECLOOP_BENCH_SPC_SWEEP") and remaining() > 300:
+            for spc_i in (2, 4, 16):
+                if remaining() < 180:
+                    break
+                cfgi = cfg_for(spc_i, endo)
+                engi = AddSearch(cfgi, filt, init="host")
+                ri, ci, dti, sti = _measure(engi, np, max(4, 256 // spc_i),
+                                            spc_i, cfgi.keys_per_step,
+                                            mult, min_window=2.0)
+                _note(f"spc sweep: spc={spc_i}: {ri / 1e6:.1f} Mkeys/s "
+                      f"(compile {ci:.1f}s, measure {dti:.1f}s)")
+                _best = max(_best, (ri, label_for(endo)))
+                record_run(f"spc{spc_i}", ri, ci, dti, sti, spc_i,
+                           cfgi.keys_per_step, mult)
     except Exception as e:  # noqa: BLE001 — never lose the stage-A number
         import traceback
         traceback.print_exc(file=sys.stderr)

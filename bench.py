@@ -329,7 +329,7 @@ def main() -> int:
             rate_m, meta_m = _measure_mul(np, filt, remaining)
             if rate_m:
                 _note(f"mul mode: {rate_m / 1e6:.3f} M keys/s "
-                      f"(= {rate_m / 0.32e6:.0f}x reference 0.32 M/s/core; "
+                      f"(= {rate_m / 0.32e6:.2f}x reference 0.32 M/s/core; "
                       f"{meta_m})")
                 _raw_runs.append({
                     "stage": "C-mul",
@@ -388,26 +388,44 @@ def main() -> int:
     return 0
 
 
-def _measure_mul(np, filt, remaining, w: int = 14, batch: int = 2048):
+def _measure_mul(np, filt, remaining, w: int = 14, batch: int | None = None,
+                 min_window: float = 2.0):
     """Mul-mode keys/s on the production step: build/load the w=14
-    gtable, run 2048-key jobs of random scalars through MulSearch's
-    step graph until >= 2 s of measure window."""
+    gtable, stream jobs of random scalars through MulSearch's pipelined
+    run_keys until a >= min_window measure window.
+
+    Methodology (VERDICT r4 #3): a rate is ONLY returned from a window
+    >= min_window — if the budget runs out first, returns (None, meta)
+    and nothing noise-grade gets recorded.  Compile is attributed
+    separately and gated up front: the caller's remaining() must exceed
+    ECLOOP_MUL_COMPILE_BUDGET_S (default 600) before the warmup starts,
+    so a pathological cold compile can't silently eat the global budget
+    (the r4 stage C overran by 267 s exactly this way)."""
     from ecloop_tpu.search import SearchConfig
     from ecloop_tpu.search.mul import MulSearch
 
+    batch = batch or int(os.environ.get("ECLOOP_MUL_BATCH", "16384"))
+    compile_budget = float(os.environ.get("ECLOOP_MUL_COMPILE_BUDGET_S", 600))
     cfg = SearchConfig(addr33=True, addr65=False)
     t0 = time.monotonic()
     eng = MulSearch(cfg, filt, w=w, batch=batch, init="auto")
     build_s = time.monotonic() - t0
     _note(f"mul gtable w={w} ready in {build_s:.1f}s")
-    rng = np.random.default_rng(7)
+    meta = {"unit": "keys/s", "w": w, "batch": batch,
+            "gtable_build_s": round(build_s, 2)}
+    if remaining() < compile_budget:
+        _note(f"mul stage skipped: {remaining():.0f}s left < compile "
+              f"budget {compile_budget:.0f}s")
+        return None, {**meta, "skipped": "insufficient budget for compile"}
     import secrets
     keys = [secrets.randbits(255) for _ in range(batch)]
-    del rng
-    # warmup / compile
+    # warmup / compile (attributed separately from the measure window)
     tc0 = time.monotonic()
     eng.run_keys(keys)
     compile_s = time.monotonic() - tc0
+    meta["compile_s"] = round(compile_s, 2)
+    _note(f"mul step compile/warmup {compile_s:.1f}s "
+          f"(remaining {remaining():.0f}s)")
     jobs = 2
     while True:
         t0 = time.monotonic()
@@ -415,14 +433,21 @@ def _measure_mul(np, filt, remaining, w: int = 14, batch: int = 2048):
             eng.run_keys(keys, drain=False)
         eng.flush()
         dt = time.monotonic() - t0
-        if dt >= 2.0 or jobs >= 512 or remaining() < 120:
+        if dt >= min_window or jobs >= 512:
             break
-        jobs = min(512, max(jobs * 2, int(jobs * 2.0 / max(dt, 1e-3)) + 1))
+        nxt = min(512, max(jobs * 2,
+                           int(jobs * min_window / max(dt, 1e-3)) + 1))
+        if remaining() < (nxt / jobs) * dt + 30:
+            # can't reach a full window inside the budget: refuse to
+            # report a dispatch-latency-noise number (r4 weak #1)
+            _note(f"mul stage: no >={min_window:.0f}s window within "
+                  f"budget (best {dt:.3f}s / {jobs} jobs) — not recording")
+            return None, {**meta, "skipped": "no full measure window",
+                          "partial_window_s": round(dt, 3)}
+        jobs = nxt
     rate = jobs * batch / dt
-    return rate, {"unit": "keys/s", "w": w, "batch": batch,
-                  "jobs": jobs, "measure_s": round(dt, 3),
-                  "compile_s": round(compile_s, 2),
-                  "gtable_build_s": round(build_s, 2)}
+    meta.update(jobs=jobs, measure_s=round(dt, 3))
+    return rate, meta
 
 
 if __name__ == "__main__":

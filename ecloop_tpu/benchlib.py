@@ -236,7 +236,11 @@ def run_bench() -> int:
     # below the top window — exactly search/mul.make_mul_step's math
     from .search.mul import build_gtable, window_indices
     w = int(os.environ.get("ECLOOP_GTABLE_W", 14))
-    if want("ec_gtable_mul"):
+    # guard the setup with the FULL row name bench() will see: a filter
+    # matching only the suffix ("w=14"/"rows") must not leave tx/ty/idx
+    # as None while the row still runs (ADVICE r4)
+    gname = "ec_gtable_mul (w=%d, rows)" % w
+    if want(gname):
         tx, ty = build_gtable(w)
         keys = [int.from_bytes(rng.bytes(32), "little") % golden.N
                 for _ in range(B)]
@@ -267,7 +271,7 @@ def run_bench() -> int:
         carry, _ = jax.lax.scan(mk_body(False), (qx_, qy_, qz_), idx_[:-1])
         (ax, ay, az), _ = mk_body(True)(carry, idx_[-1])
         return ax, ay, az, idx_
-    bench("ec_gtable_mul (w=%d, rows)" % w,
+    bench(gname,
           loop(lambda qx_, qy_, qz_, idx_: gmul(qx_, qy_, qz_, idx_),
                r=max(1, R // 128)),
           (a_rows, b_rows, rand_rows(), idx), B)

@@ -107,8 +107,47 @@ def process_local_path(path: str) -> str:
     Every process holds the same global cursor, but two processes on a
     shared filesystem must not race tmp+rename on one file — suffix the
     path with the process index (single-process runs keep the path
-    verbatim, so the common case is unchanged)."""
+    verbatim, so the common case is unchanged).
+
+    Topology-change guard (both directions): a multi-host run refuses a
+    checkpoint written under a different process count via the `procs`
+    config key; symmetrically, a single-process run finding leftover
+    `.pN` siblings of its path refuses instead of silently starting the
+    whole range from offset 0."""
+    import glob
     import jax
     if jax.process_count() > 1:
         return f"{path}.p{jax.process_index()}"
+    stale = sorted(glob.glob(glob.escape(path) + ".p*"))
+    if stale and not os.path.exists(path):
+        raise ValueError(
+            f"checkpoint {path} has per-process siblings from a "
+            f"multi-host run ({', '.join(os.path.basename(s) for s in stale)}); "
+            f"resuming single-process would restart from 0 — delete them "
+            f"or re-run with the original process topology")
     return path
+
+
+def reconcile_multihost(cursor: int, k_checked: int = 0,
+                        k_found: int = 0) -> tuple[int, int, int]:
+    """Multi-host resume reconciliation: per-process cursor files are
+    saved on independent time-throttled cadences, so after a crash they
+    can legitimately disagree — but every process MUST call run_range
+    with the SAME start_offset or the lockstep shard_map/psum program
+    diverges (different step counts across processes hang the
+    collectives).  All processes allgather their (cursor, counters) and
+    adopt the row with the MINIMUM cursor: re-searching a few keys is
+    harmless, skipping keys is not.  Processes that found no checkpoint
+    contribute cursor 0, which correctly restarts everyone.
+
+    No-op (identity) for single-process runs."""
+    import jax
+    if jax.process_count() <= 1:
+        return cursor, k_checked, k_found
+    import numpy as np
+    from jax.experimental import multihost_utils
+    rows = multihost_utils.process_allgather(
+        np.asarray([cursor, k_checked, k_found], dtype=np.int64))
+    rows = np.asarray(rows).reshape(-1, 3)
+    i = int(np.argmin(rows[:, 0]))
+    return int(rows[i, 0]), int(rows[i, 1]), int(rows[i, 2])

@@ -358,11 +358,20 @@ def cmd_add(args: Args) -> int:
     cpath = args.get_str("-c")
     if cpath:
         key = ckpt_mod.config_key_for("add", cfg, args.get_str("-f"))
-        ckpt = ckpt_mod.Checkpoint(ckpt_mod.process_local_path(cpath), key)
         try:
+            ckpt = ckpt_mod.Checkpoint(
+                ckpt_mod.process_local_path(cpath), key)
             if ckpt.try_resume():
                 start_offset = int(ckpt.cursor or 0)
                 status.k_found = ckpt.k_found
+            # multi-host: per-process cursor files can disagree (time-
+            # throttled saves); every process must adopt the same offset
+            # or the lockstep collective program diverges.  All
+            # processes reach this call (resumed or not).
+            start_offset, _, kf = ckpt_mod.reconcile_multihost(
+                start_offset, status.k_checked, status.k_found)
+            status.k_found = kf
+            if start_offset:
                 print(f"resuming from checkpoint: offset "
                       f"{_fmt_n(start_offset)} keys")
         except ValueError as e:
@@ -481,8 +490,9 @@ def cmd_rnd(args: Args) -> int:
     if cpath:
         key = ckpt_mod.config_key_for("rnd", cfg, args.get_str("-f"),
                                       seed=seed)
-        ckpt = ckpt_mod.Checkpoint(ckpt_mod.process_local_path(cpath), key)
         try:
+            ckpt = ckpt_mod.Checkpoint(
+                ckpt_mod.process_local_path(cpath), key)
             if ckpt.try_resume():
                 skip_iters = ckpt.iters
                 status.k_found = ckpt.k_found
@@ -490,6 +500,12 @@ def cmd_rnd(args: Args) -> int:
                 # per-iteration deltas and every subsequent ckpt.save
                 # stay monotonic across the resume
                 status.k_checked = ckpt.k_checked
+            # multi-host: all processes must replay the same number of
+            # seeded draws (see cmd_add) — adopt the minimum iteration
+            skip_iters, kc, kf = ckpt_mod.reconcile_multihost(
+                skip_iters, status.k_checked, status.k_found)
+            status.k_checked, status.k_found = kc, kf
+            if skip_iters:
                 print(f"resuming from checkpoint: iteration {skip_iters}")
                 if seed is None:
                     print("note: unseeded rnd draws fresh ranges; the "

@@ -31,14 +31,10 @@ def _unroll_default() -> bool:
     """Unroll sequential loops (inversion chain / prefix scans) into the
     traced graph.  Saves per-iteration while-loop latency on TPU (the
     bodies are tiny relative to launch overhead); kept off on CPU where
-    giant fused blocks send LLVM compile time superlinear."""
-    v = os.environ.get("ECLOOP_FE_UNROLL")
-    if v is not None:
-        return v == "1"
-    try:
-        return jax.default_backend() != "cpu"
-    except Exception:
-        return False
+    giant fused blocks send LLVM compile time superlinear.  One shared
+    policy (ecloop_tpu.policy), ECLOOP_FE_UNROLL site override."""
+    from .policy import tpu_graph_forms
+    return tpu_graph_forms("ECLOOP_FE_UNROLL")
 
 # --- constants ---------------------------------------------------------------
 

@@ -46,12 +46,9 @@ def _native_forms() -> bool:
     therefore routes the *heavy* ops (mul/sqr/inv) through fe's compact
     padded/scan forms via a layout round-trip; semantics are bit
     identical (both layers are tested against the same golden model).
-    Override with ECLOOP_FEL_NATIVE=0/1."""
-    import os
-    v = os.environ.get("ECLOOP_FEL_NATIVE")
-    if v is not None:
-        return v == "1"
-    return fe._unroll_default()
+    One shared policy (ecloop_tpu.policy), ECLOOP_FEL_NATIVE override."""
+    from .policy import tpu_graph_forms
+    return tpu_graph_forms("ECLOOP_FEL_NATIVE")
 
 
 @functools.lru_cache(maxsize=None)

@@ -32,13 +32,8 @@ from . import fe
 # because XLA:CPU's LLVM pipeline is pathological on the giant fused
 # block.  Override with ECLOOP_HASH_UNROLL=0/1.
 def _unroll_default() -> bool:
-    v = os.environ.get("ECLOOP_HASH_UNROLL")
-    if v is not None:
-        return v == "1"
-    try:
-        return jax.default_backend() != "cpu"
-    except Exception:
-        return False
+    from .policy import tpu_graph_forms
+    return tpu_graph_forms("ECLOOP_HASH_UNROLL")
 
 _U32 = jnp.uint32
 M32 = np.uint32(0xFFFFFFFF)

@@ -89,3 +89,22 @@ def test_config_key_covers_identity_fields(tmp_path):
     cfg3 = SearchConfig(range_s=0x8000, range_e=0xFFFF, addr33=True,
                         centers=128)
     assert checkpoint.config_key_for("add", cfg3, "f.txt") == k1
+
+
+def test_single_process_refuses_stale_multihost_siblings(tmp_path):
+    """A single-process run pointed at a -c path whose only state is
+    multi-host .pN siblings must refuse (it would otherwise silently
+    restart from offset 0) — ADVICE r4."""
+    base = tmp_path / "state.json"
+    (tmp_path / "state.json.p0").write_text("{}")
+    (tmp_path / "state.json.p1").write_text("{}")
+    import pytest
+    with pytest.raises(ValueError, match="per-process siblings"):
+        checkpoint.process_local_path(str(base))
+    # once the un-suffixed file exists the siblings are just leftovers
+    base.write_text("{}")
+    assert checkpoint.process_local_path(str(base)) == str(base)
+
+
+def test_reconcile_multihost_single_process_identity():
+    assert checkpoint.reconcile_multihost(123, 456, 7) == (123, 456, 7)

@@ -31,8 +31,9 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(autouse=True)
 def _force_variant_flags(monkeypatch):
-    monkeypatch.setenv("ECLOOP_FE_UNROLL", "1")
-    monkeypatch.setenv("ECLOOP_HASH_UNROLL", "1")
+    # one global switch (ecloop_tpu.policy): unrolled fe/hash AND native
+    # fel rows — the forms production executes on TPU
+    monkeypatch.setenv("ECLOOP_TPU_FORMS", "1")
 
 
 def test_mul_sqr_inv_variant_parity(rng):

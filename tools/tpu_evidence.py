@@ -16,9 +16,13 @@ import time
 
 STAGES = [
     ("add_vector", "golden add vector: 9 keys over -r 8000:ffffff"),
+    ("mul_warm", "mul graph cold compile into the persistent cache"),
     ("mul_vector", "golden mul vector: 1080 keys from data/btc-bw-priv"),
     ("blf_roundtrip", "blf-gen + search through the .blf path"),
-    ("tpu_tests", "pytest on device (ECLOOP_TEST_TPU=1, incl. Pallas)"),
+    ("tests_variants", "pytest tests/test_tpu_variants.py on device"),
+    ("tests_golden", "pytest tests/test_golden.py on device"),
+    ("tests_sol", "pytest tests/test_sol.py on device"),
+    ("tests_benchcli", "pytest tests/test_benchcli.py on device"),
     ("bench", "bench.py headline incl. mul + sharding stages "
               "(writes BENCH_LAST_GOOD.json)"),
     ("bench_micro", "per-kernel microbench (bench cmd)"),
@@ -41,12 +45,15 @@ def _tail(path: str, n: int = MAX_LINES) -> str:
 
 def main(out_dir: str) -> int:
     rcs = {}
+    commits = {}
     log_path = os.path.join(out_dir, "log")
     if os.path.exists(log_path):
         for line in open(log_path):
-            m = re.match(r"rc=(\d+) (\S+)", line)
+            m = re.match(r"rc=(\d+) (\S+)(?: @(\S+))?", line)
             if m:
                 rcs[m.group(2)] = int(m.group(1))
+                if m.group(3):
+                    commits[m.group(2)] = m.group(3)
 
     dev = _tail(os.path.join(out_dir, "device.log"), 5)
     parts = [
@@ -63,18 +70,22 @@ def main(out_dir: str) -> int:
         "",
         "## Stages",
         "",
-        "| stage | what | rc |",
-        "|---|---|---|",
+        "| stage | what | rc | commit |",
+        "|---|---|---|---|",
     ]
     for name, desc in STAGES:
         rc = rcs.get(name)
         status = "pending" if rc is None else ("ok" if rc == 0 else f"FAIL({rc})")
-        parts.append(f"| {name} | {desc} | {status} |")
+        parts.append(f"| {name} | {desc} | {status} | "
+                     f"{commits.get(name, '—')} |")
     parts.append("")
     for name, desc in STAGES:
         if rcs.get(name) is None:
             continue
-        parts += [f"## {name} — {desc} (rc={rcs[name]})", "```",
+        stamp = commits.get(name)
+        head = f"## {name} — {desc} (rc={rcs[name]}" + (
+            f", @{stamp})" if stamp else ")")
+        parts += [head, "```",
                   _tail(os.path.join(out_dir, f"{name}.log")), "```", ""]
     # found-key files, the actual correctness payload
     for fname, want in (("add_found.txt", 9), ("mul_found.txt", 1080),

@@ -208,6 +208,69 @@ def addr65_hash_rows_pallas(x_rows, y_rows):
     return _hash_rows_pallas(False, x_rows, y_rows)
 
 
+def _mixed_add_kernel(complete: bool, *refs):
+    """refs: 16 qx + 16 qy + 16 qz (projective accumulator), 16 gx +
+    16 gy (affine table point), 1 skip row — each (S, SUB, LANE);
+    outputs 16 nx + 16 ny + 16 nz.
+
+    One gtable window step of the mul scan (search/mul.make_mul_step):
+    mixed projective+affine add with the skip select (zero digit ->
+    carry passthrough) folded in.  Keeping the ~12 unrolled modmuls of
+    the add INSIDE one Mosaic program is what makes the mul step's XLA
+    graph small: with them inlined in XLA the whole-step cold compile
+    through the remote relay was ~37 min (r5 measured, r4 stage C
+    1224 s for the addr33-only graph) — the same superlinear-compile
+    class the Pallas hash fix (814cd48) addressed for the hash rounds.
+    """
+    from . import ecc
+    q = [tuple(r[:] for r in refs[i * NLIMBS:(i + 1) * NLIMBS])
+         for i in range(5)]
+    qx, qy, qz, gx, gy = q
+    skip = refs[5 * NLIMBS][:] != 0
+    nx, ny, nz = ecc.proj_add_affine_rows(qx, qy, qz, gx, gy,
+                                          complete=complete)
+    nx = fel.select(skip, qx, nx)
+    ny = fel.select(skip, qy, ny)
+    nz = fel.select(skip, qz, nz)
+    o_refs = refs[5 * NLIMBS + 1:]
+    for limb in range(NLIMBS):
+        o_refs[limb][:] = nx[limb]
+        o_refs[NLIMBS + limb][:] = ny[limb]
+        o_refs[2 * NLIMBS + limb][:] = nz[limb]
+
+
+@functools.lru_cache(maxsize=8)
+def _build_mixed_add(complete: bool, n_tiles: int, s_blk: int):
+    kern = functools.partial(_mixed_add_kernel, complete)
+    blk = (s_blk, SUB, LANE)
+    spec = pl.BlockSpec(blk, lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+    shape = (n_tiles, SUB, LANE)
+    return pl.pallas_call(
+        kern,
+        grid=(n_tiles // s_blk,),
+        in_specs=[spec] * (5 * NLIMBS + 1),
+        out_specs=[spec] * (3 * NLIMBS),
+        out_shape=[jax.ShapeDtypeStruct(shape, jnp.uint32)] * (3 * NLIMBS),
+    )
+
+
+def proj_add_affine_pallas(qx, qy, qz, gx, gy, skip, complete: bool):
+    """Fused gtable window step: (Q + G) with skip passthrough, on fel
+    rows of any common shape with size % 1024 == 0; skip is a uint32
+    (or bool) row of the same shape.  Returns projective fel rows."""
+    shape = qx[0].shape
+    n = int(np.prod(shape))
+    assert n % W == 0, shape
+    n_tiles = n // W
+    s_blk = next(s for s in (8, 4, 2, 1) if n_tiles % s == 0)
+    rows = [r.reshape(n_tiles, SUB, LANE)
+            for r in (*qx, *qy, *qz, *gx, *gy)]
+    rows.append(skip.astype(jnp.uint32).reshape(n_tiles, SUB, LANE))
+    out = _build_mixed_add(complete, n_tiles, s_blk)(*rows)
+    t = tuple(r.reshape(shape) for r in out)
+    return t[:NLIMBS], t[NLIMBS:2 * NLIMBS], t[2 * NLIMBS:]
+
+
 def inv_mod_batch_pallas(x, seg_elems: int = 65536):
     """Batched modular inversion of fel row tuples, shape (B,) each.
 

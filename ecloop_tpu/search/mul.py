@@ -218,9 +218,17 @@ def make_mul_step(cfg: SearchConfig, filt: Filter, w: int, batch: int):
                                                axis=0)))
                 gy = t3(fel.from_last(jnp.take(ty, jnp.maximum(idx_i, 0),
                                                axis=0)))
+                skip = (idx_i < 0).reshape(bshape)
+                if use_pallas:
+                    # fused Mosaic window step: keeps the ~12 unrolled
+                    # modmuls of the add out of the XLA graph — the XLA
+                    # form's whole-step cold compile through the remote
+                    # relay was ~37 min (r5 measured; VERDICT r4 #4)
+                    from .. import pallas_kernels
+                    return pallas_kernels.proj_add_affine_pallas(
+                        qx, qy, qz, gx, gy, skip, complete), None
                 nx, ny, nz = ecc.proj_add_affine_rows(qx, qy, qz, gx, gy,
                                                       complete=complete)
-                skip = (idx_i < 0).reshape(bshape)
                 qx = fel.select(skip, qx, nx)
                 qy = fel.select(skip, qy, ny)
                 qz = fel.select(skip, qz, nz)

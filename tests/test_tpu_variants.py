@@ -75,6 +75,16 @@ def test_hash_variant_parity(rng):
 
 
 @pytest.mark.skipif(not _on_tpu, reason="Pallas kernels need Mosaic/TPU")
+def _pallas_ctx():
+    """Pallas kernels compile via Mosaic only on TPU; on a CPU run
+    (ECLOOP_RUN_SLOW) execute them through the TPU interpreter."""
+    import contextlib
+    from jax.experimental.pallas import tpu as pltpu
+    if _on_tpu:
+        return contextlib.nullcontext()
+    return pltpu.force_tpu_interpret_mode()
+
+
 def test_pallas_hash_parity(rng):
     """Fused Pallas hash160 kernel vs golden, at one full tile batch."""
     import jax.numpy as jnp
@@ -86,12 +96,80 @@ def test_pallas_hash_parity(rng):
         jnp.asarray(fe.ints_to_limbs([p[0] for p in pts]))))
     y = tuple(r.reshape(-1, 8, 128) for r in fel.from_last(
         jnp.asarray(fe.ints_to_limbs([p[1] for p in pts]))))
-    h33 = [np.asarray(r).reshape(-1) for r in
-           jax.jit(pallas_kernels.addr33_hash_rows_pallas)(x, y)]
-    h65 = [np.asarray(r).reshape(-1) for r in
-           jax.jit(pallas_kernels.addr65_hash_rows_pallas)(x, y)]
+    with _pallas_ctx():
+        h33 = [np.asarray(r).reshape(-1) for r in
+               jax.jit(pallas_kernels.addr33_hash_rows_pallas)(x, y)]
+        h65 = [np.asarray(r).reshape(-1) for r in
+               jax.jit(pallas_kernels.addr65_hash_rows_pallas)(x, y)]
     for i in (0, 1, 63, 64, 1023):
         got33 = "".join(f"{h[i]:08x}" for h in h33)
         got65 = "".join(f"{h[i]:08x}" for h in h65)
         assert got33 == golden.addr33(pts[i]).hex()
         assert got65 == golden.addr65(pts[i]).hex()
+
+
+def test_pallas_mixed_add_parity(rng, monkeypatch):
+    """Fused Pallas gtable-window add (incomplete + complete forms) vs
+    the golden model, including skip passthrough, infinity accumulator
+    and (complete form) the P == Q doubling branch."""
+    if not _on_tpu:
+        # the TPU interpreter executes the kernel op-by-op; with the
+        # unrolled native fel forms one complete-add call runs >20 min
+        # on a CPU core — interpret through the compact forms instead
+        # (same kernel structure, fe-layer math already CPU-tested)
+        monkeypatch.setenv("ECLOOP_FEL_NATIVE", "0")
+    import jax.numpy as jnp
+    from ecloop_tpu import fe, fel, golden, pallas_kernels
+
+    B = 1024
+    qk = [rng.randrange(1, golden.N) for _ in range(B)]
+    gk = [rng.randrange(1, golden.N) for _ in range(B)]
+    qk[0] = 0                     # infinity accumulator lane
+    gk[1] = qk[1]                 # P == Q lane (complete form doubles)
+    skip_lanes = {2, 700}
+    qp = [golden.point_mul(k) if k else (0, 0) for k in qk]
+    gp = [golden.point_mul(k) for k in gk]
+
+    def rows(vals):
+        return tuple(r.reshape(-1, 8, 128) for r in fel.from_last(
+            jnp.asarray(fe.ints_to_limbs(vals))))
+
+    qx = rows([p[0] for p in qp])
+    qy = rows([p[1] for p in qp])
+    qz = rows([1 if k else 0 for k in qk])
+    gx = rows([p[0] for p in gp])
+    gy = rows([p[1] for p in gp])
+    skip = jnp.asarray(
+        np.array([1 if i in skip_lanes else 0 for i in range(B)],
+                 dtype=np.uint32)).reshape(-1, 8, 128)
+
+    for complete in (True, False):
+        if not complete:
+            gk[1] = (qk[1] + 7) % golden.N      # avoid the dbl lane
+            gp[1] = golden.point_mul(gk[1])
+            gx = rows([p[0] for p in gp])
+            gy = rows([p[1] for p in gp])
+        with _pallas_ctx():
+            nx, ny, nz = jax.jit(
+                lambda a, b, c, d, e, s, _c=complete:
+                pallas_kernels.proj_add_affine_pallas(a, b, c, d, e, s, _c)
+            )(qx, qy, qz, gx, gy, skip)
+        # reduce each lane to affine on host ints and compare
+        xs = fe.limbs_to_ints(np.stack([np.asarray(r).reshape(-1)
+                                        for r in nx], axis=-1))
+        ys = fe.limbs_to_ints(np.stack([np.asarray(r).reshape(-1)
+                                        for r in ny], axis=-1))
+        zs = fe.limbs_to_ints(np.stack([np.asarray(r).reshape(-1)
+                                        for r in nz], axis=-1))
+        for i in (0, 1, 2, 3, 700, 701, 1023):
+            if i in skip_lanes:
+                want = qp[i]
+            else:
+                want = golden.point_add(qp[i] if qk[i] else None, gp[i])
+            zi = zs[i]
+            if zi == 0:
+                assert want is None or want == (0, 0)
+                continue
+            zinv = pow(zi, -1, golden.P)
+            got = (xs[i] * zinv % golden.P, ys[i] * zinv % golden.P)
+            assert got == want, f"lane {i} complete={complete}"

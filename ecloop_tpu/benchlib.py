@@ -241,27 +241,37 @@ def run_bench() -> int:
     # as None while the row still runs (ADVICE r4)
     gname = "ec_gtable_mul (w=%d, rows)" % w
     if want(gname):
-        tx, ty = build_gtable(w)
+        from .search.mul import interleave_gtable
+        txy = interleave_gtable(*build_gtable(w))
         keys = [int.from_bytes(rng.bytes(32), "little") % golden.N
                 for _ in range(B)]
         idx = jnp.asarray(window_indices(keys, w).T)
     else:
-        tx = ty = idx = None
+        txy = idx = None
 
     def t3(rows):
         return tuple(r.reshape(shape) for r in rows)
+
+    from .search.add import _use_pallas as _use_pallas_fn
+    gmul_pallas = _use_pallas_fn() and B % 1024 == 0
 
     def gmul(qx_, qy_, qz_, idx_):
         def mk_body(complete):
             def body(carry, idx_i):
                 cx_, cy_, cz_ = carry
-                gx = t3(fel.from_last(
-                    jnp.take(tx, jnp.maximum(idx_i, 0), axis=0)))
-                gy = t3(fel.from_last(
-                    jnp.take(ty, jnp.maximum(idx_i, 0), axis=0)))
+                g = jnp.take(txy, jnp.maximum(idx_i, 0), axis=0)
+                gx = t3(tuple(g[:, i] for i in range(16)))
+                gy = t3(tuple(g[:, 16 + i] for i in range(16)))
+                skip = (idx_i < 0).reshape(shape)
+                if gmul_pallas:
+                    # production Mosaic window body (search/mul) — the
+                    # XLA-inlined add compiles for tens of minutes on
+                    # device and killed the r4 bench_micro stage
+                    from . import pallas_kernels
+                    return pallas_kernels.proj_add_affine_pallas(
+                        cx_, cy_, cz_, gx, gy, skip, complete), None
                 nx, ny, nz = ecc.proj_add_affine_rows(
                     cx_, cy_, cz_, gx, gy, complete=complete)
-                skip = (idx_i < 0).reshape(shape)
                 return (fel.select(skip, cx_, nx),
                         fel.select(skip, cy_, ny),
                         fel.select(skip, cz_, nz)), None
@@ -371,17 +381,28 @@ def run_bench_gtable() -> int:
         def t3(rows):
             return tuple(r.reshape(bshape) for r in rows)
 
-        def gmul(idx_, tx_=tx, ty_=ty):
+        from .search.add import _use_pallas
+        from .search.mul import interleave_gtable
+        use_pallas = _use_pallas() and tiled
+        txy = interleave_gtable(tx, ty)
+
+        def gmul(idx_, txy_=txy):
             def mk_body(complete):
                 def body(carry, idx_i):
                     qx_, qy_, qz_ = carry
-                    gx = t3(fel.from_last(
-                        jnp.take(tx_, jnp.maximum(idx_i, 0), axis=0)))
-                    gy = t3(fel.from_last(
-                        jnp.take(ty_, jnp.maximum(idx_i, 0), axis=0)))
+                    g = jnp.take(txy_, jnp.maximum(idx_i, 0), axis=0)
+                    gx = t3(tuple(g[:, i] for i in range(16)))
+                    gy = t3(tuple(g[:, 16 + i] for i in range(16)))
+                    skip = (idx_i < 0).reshape(bshape)
+                    if use_pallas:
+                        # production window body (search/mul): Mosaic
+                        # add, XLA-inlined adds cost tens of minutes of
+                        # device compile PER WIDTH (r4: sweep never ran)
+                        from . import pallas_kernels
+                        return pallas_kernels.proj_add_affine_pallas(
+                            qx_, qy_, qz_, gx, gy, skip, complete)
                     nx, ny, nz = ecc.proj_add_affine_rows(
                         qx_, qy_, qz_, gx, gy, complete=complete)
-                    skip = (idx_i < 0).reshape(bshape)
                     return (fel.select(skip, qx_, nx),
                             fel.select(skip, qy_, ny),
                             fel.select(skip, qz_, nz))

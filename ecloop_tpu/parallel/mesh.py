@@ -214,7 +214,7 @@ def sharded_mul_step_builder(cfg: SearchConfig, filt: Filter, mesh: Mesh,
     raw_step = make_mul_step(cfg, filt, w, batch // n)
     sharded = shard_map(
         raw_step, mesh=mesh,
-        in_specs=(P(None, "rng"), P(), P(), P()),
+        in_specs=(P(None, "rng"), P(), P()),
         out_specs=P(None, "rng"),
         check_rep=False)
     from ..search.add import _use_jit

@@ -159,26 +159,39 @@ def _gtable_cache_save(cache: str | None, tx: np.ndarray,
         pass
 
 
-def window_indices(keys: list[int], w: int) -> np.ndarray:
-    """(B, d) int32 flat gather indices; -1 marks a zero digit (skip).
+def window_digits(keys: list[int], w: int) -> np.ndarray:
+    """(B, d) uint16 window digits; 0 marks a zero digit (skip).
 
     Vectorized: keys -> (B, 4) u64 words, then d shift/mask column ops
     (a per-key Python loop costs ~50 ms per 2048-key job — comparable
-    to the whole device step)."""
+    to the whole device step).  The host ships RAW DIGITS (u16, w <= 16)
+    and the device derives the flat table index digit-1 + (2^w-1)*i —
+    half the host->device bytes of an int32 flat-index batch, which
+    matters through the device tunnel (~5 MB/job at batch 64k)."""
     n = 1 << w
+    assert w <= 16
     d = (255 // w) + 1
     raw = b"".join(k.to_bytes(32, "little") for k in keys)
     words = np.frombuffer(raw, dtype="<u8").reshape(len(keys), 4)
-    out = np.empty((len(keys), d), dtype=np.int32)
+    out = np.empty((len(keys), d), dtype=np.uint16)
     for i in range(d):
         j, sh = divmod(w * i, 64)
         lo = words[:, j] >> np.uint64(sh)
         if sh and j + 1 < 4:
             lo = lo | (words[:, j + 1] << np.uint64(64 - sh))
-        digit = (lo & np.uint64(n - 1)).astype(np.int64)
-        np.subtract((n - 1) * i + digit, 1, out=out[:, i], casting="unsafe")
-        out[:, i][digit == 0] = -1
+        out[:, i] = (lo & np.uint64(n - 1)).astype(np.uint16)
     return out
+
+
+def window_indices(keys: list[int], w: int) -> np.ndarray:
+    """(B, d) int32 flat gather indices; -1 marks a zero digit (skip).
+    (The step graph itself consumes window_digits; this flat form is
+    kept for the bench rows and index tests.)"""
+    dig = window_digits(keys, w).astype(np.int64)
+    n1 = (1 << w) - 1
+    out = (dig - 1 + n1 * np.arange(dig.shape[1], dtype=np.int64)[None, :])
+    out[dig == 0] = -1
+    return out.astype(np.int32)
 
 
 def parse_keys(lines: list[str], raw: bool) -> list[int]:
@@ -190,14 +203,26 @@ def parse_keys(lines: list[str], raw: bool) -> list[int]:
     return [int(ln, 16) % N for ln in lines]
 
 
+def interleave_gtable(tx, ty):
+    """(N, 16) x 2 -> (N, 32) rows [x limbs || y limbs].
+
+    One gather serves both coordinates: TPU gathers of small rows are
+    fixed-cost dominated, and the interleaved layout measured 3.8x
+    faster than two 16-limb gathers at batch 64k (1.08 vs 4.09
+    ms/window, tools/exp_mul_profile.py on v5e; a transposed limb-plane
+    layout was 5x SLOWER, and a one-hot bf16 MXU matmul gather ties XY
+    but costs 2x the table memory)."""
+    return jnp.concatenate([tx, ty], axis=1)
+
+
 def make_mul_step(cfg: SearchConfig, filt: Filter, w: int, batch: int):
-    """Raw (unjitted) mul step: (idx (d, B), tx, ty, bits) -> masks
+    """Raw (unjitted) mul step: (idx (d, B), txy (N, 32), bits) -> masks
     (V, B/32).  Exposed unjitted so parallel/mesh.py can wrap it in
     shard_map; single-device users take build_mul_step below.
 
-    Limb-first accumulation: the per-window gather stays on the
-    (N, 16) table (one gather per coordinate), then converts to fel
-    rows for the field math."""
+    Limb-first accumulation: the per-window gather pulls interleaved
+    (N, 32) x||y rows (interleave_gtable), then converts to fel rows
+    for the field math."""
     from .add import _use_jit, _use_pallas
     use_jit = _use_jit()
     use_pallas = _use_pallas() and batch % 1024 == 0
@@ -210,15 +235,19 @@ def make_mul_step(cfg: SearchConfig, filt: Filter, w: int, batch: int):
         return (tuple(r.reshape(bshape) for r in rows) if tiled
                 else tuple(rows))
 
-    def step(idx, tx, ty, bits):
+    n1 = (1 << w) - 1
+
+    def step(dig, txy, bits):
         def make_body(complete):
-            def body(carry, idx_i):
+            def body(carry, xs):
+                off_i, dig_i = xs
                 qx, qy, qz = carry
-                gx = t3(fel.from_last(jnp.take(tx, jnp.maximum(idx_i, 0),
-                                               axis=0)))
-                gy = t3(fel.from_last(jnp.take(ty, jnp.maximum(idx_i, 0),
-                                               axis=0)))
-                skip = (idx_i < 0).reshape(bshape)
+                di = dig_i.astype(jnp.int32)
+                idx_i = jnp.maximum(di - 1 + off_i, 0)
+                g = jnp.take(txy, idx_i, axis=0)
+                gx = t3(tuple(g[:, i] for i in range(16)))
+                gy = t3(tuple(g[:, 16 + i] for i in range(16)))
+                skip = (di == 0).reshape(bshape)
                 if use_pallas:
                     # fused Mosaic window step: keeps the ~12 unrolled
                     # modmuls of the add out of the XLA graph — the XLA
@@ -243,16 +272,18 @@ def make_mul_step(cfg: SearchConfig, filt: Filter, w: int, batch: int):
         last = make_body(True)
         zero = fel.const_rows(0, bshape)
         one = fel.const_rows(1, bshape)
+        offs = jnp.arange(dig.shape[0], dtype=jnp.int32) * n1
         if use_jit:
-            carry, _ = jax.lax.scan(body, (zero, one, zero), idx[:-1])
-            (qx, qy, qz), _ = last(carry, idx[-1])
+            carry, _ = jax.lax.scan(body, (zero, one, zero),
+                                    (offs[:-1], dig[:-1]))
+            (qx, qy, qz), _ = last(carry, (offs[-1], dig[-1]))
         else:
             # eager CPU path: a Python window loop keeps each op a small
             # cached kernel (lax.scan would compile the whole body chain)
             carry = (zero, one, zero)
-            for i in range(idx.shape[0] - 1):
-                carry, _ = body(carry, idx[i])
-            (qx, qy, qz), _ = last(carry, idx[-1])
+            for i in range(dig.shape[0] - 1):
+                carry, _ = body(carry, (offs[i], dig[i]))
+            (qx, qy, qz), _ = last(carry, (offs[-1], dig[-1]))
         if tiled:
             # inversion works on flat rows; the x/y*z^-1 muls stay tiled
             zflat = tuple(r.reshape(-1) for r in qz)
@@ -317,7 +348,7 @@ class MulSearch:
         self.w = w
         self.batch = batch
         self.raw = raw
-        self.tx, self.ty = build_gtable(w, cfg.lanes, init)
+        self.txy = interleave_gtable(*build_gtable(w, cfg.lanes, init))
         self.bits = jnp.asarray(filt.device_bits)
         self.step_fn = self._build_step(cfg, filt, w, batch)
         self.k_checked = 0
@@ -347,13 +378,14 @@ class MulSearch:
         found = []
         for off in range(0, len(keys), self.batch):
             job = keys[off:off + self.batch]
-            idx = window_indices(job, self.w)
+            dig = window_digits(job, self.w)
             pad = self.batch - len(job)
             if pad:
-                idx = np.concatenate(
-                    [idx, np.full((pad, idx.shape[1]), -1, np.int32)], axis=0)
-            masks = self.step_fn(jnp.asarray(idx.T), self.tx, self.ty,
-                                 self.bits)
+                # digit 0 = skip in every window: padding lanes stay at
+                # infinity and can never probe as hits
+                dig = np.concatenate(
+                    [dig, np.zeros((pad, dig.shape[1]), np.uint16)], axis=0)
+            masks = self.step_fn(jnp.asarray(dig.T), self.txy, self.bits)
             self._pending.append((job, masks, on_found))
             while len(self._pending) > self._depth:
                 found.extend(self._drain_one(on_found))

@@ -30,16 +30,16 @@ def main():
         keys = [random.randrange(1, 1 << 256) for _ in range(batch)]
         t0 = time.time()
         idx0 = None
-        from ecloop_tpu.search.mul import window_indices
-        idx = window_indices(keys, eng.w)
-        m = eng.step_fn(jnp.asarray(idx.T), eng.tx, eng.ty, eng.bits)
+        from ecloop_tpu.search.mul import window_digits
+        idx = window_digits(keys, eng.w)
+        m = eng.step_fn(jnp.asarray(idx.T), eng.txy, eng.bits)
         np.asarray(m)
         print(f"batch {batch}: first step (compile) {time.time()-t0:.1f}s",
               flush=True)
         iters = 20
         t0 = time.time()
         for _ in range(iters):
-            m = eng.step_fn(jnp.asarray(idx.T), eng.tx, eng.ty, eng.bits)
+            m = eng.step_fn(jnp.asarray(idx.T), eng.txy, eng.bits)
         np.asarray(m)
         per = (time.time() - t0) / iters
         print(f"batch {batch}: {per*1e3:8.2f} ms/step -> "

@@ -22,7 +22,7 @@ def main():
     mark("jax imported")
     from ecloop_tpu import filters
     from ecloop_tpu.search import SearchConfig
-    from ecloop_tpu.search.mul import MulSearch, build_gtable, window_indices
+    from ecloop_tpu.search.mul import MulSearch, build_gtable, window_digits
 
     filt = filters.load_filter("data/btc-bw-hash")
     mark("filter loaded")
@@ -40,18 +40,18 @@ def main():
     random.seed(7)
     keys = [random.randrange(1, 1 << 256) for _ in range(eng.batch)]
     t = time.time()
-    idx = window_indices(keys, eng.w)
-    mark(f"window_indices({eng.batch} keys): {time.time() - t:.3f}s")
+    idx = window_digits(keys, eng.w)
+    mark(f"window_digits({eng.batch} keys): {time.time() - t:.3f}s")
 
     import jax.numpy as jnp
-    m = eng.step_fn(jnp.asarray(idx.T), eng.tx, eng.ty, eng.bits)
+    m = eng.step_fn(jnp.asarray(idx.T), eng.txy, eng.bits)
     np.asarray(m)
     mark("first step done (compile/load + run)")
 
     t = time.time()
     iters = 10
     for _ in range(iters):
-        m = eng.step_fn(jnp.asarray(idx.T), eng.tx, eng.ty, eng.bits)
+        m = eng.step_fn(jnp.asarray(idx.T), eng.txy, eng.bits)
     np.asarray(m)
     per = (time.time() - t) / iters
     mark(f"steady step: {per * 1e3:.1f} ms -> "

@@ -404,7 +404,10 @@ def _measure_mul(np, filt, remaining, w: int = 14, batch: int | None = None,
     from ecloop_tpu.search import SearchConfig
     from ecloop_tpu.search.mul import MulSearch
 
-    batch = batch or int(os.environ.get("ECLOOP_MUL_BATCH", "16384"))
+    # 32768 = the measured device sweet spot on v5e (tools/
+    # exp_mul_batch.py r5: 0.52/1.04/1.20/0.87 M keys/s device-side at
+    # 8k/16k/32k/64k)
+    batch = batch or int(os.environ.get("ECLOOP_MUL_BATCH", "32768"))
     compile_budget = float(os.environ.get("ECLOOP_MUL_COMPILE_BUDGET_S", 600))
     cfg = SearchConfig(addr33=True, addr65=False)
     t0 = time.monotonic()

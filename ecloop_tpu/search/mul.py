@@ -159,21 +159,58 @@ def _gtable_cache_save(cache: str | None, tx: np.ndarray,
         pass
 
 
-def window_digits(keys: list[int], w: int) -> np.ndarray:
-    """(B, d) uint16 window digits; 0 marks a zero digit (skip).
+def keys_to_words(keys: list[int]) -> np.ndarray:
+    """list of ints -> (B, 4) u64 little-endian word rows."""
+    raw = b"".join(k.to_bytes(32, "little") for k in keys)
+    return np.frombuffer(raw, dtype="<u8").reshape(len(keys), 4)
 
-    Vectorized: keys -> (B, 4) u64 words, then d shift/mask column ops
-    (a per-key Python loop costs ~50 ms per 2048-key job — comparable
-    to the whole device step).  The host ships RAW DIGITS (u16, w <= 16)
-    and the device derives the flat table index digit-1 + (2^w-1)*i —
-    half the host->device bytes of an int32 flat-index batch, which
-    matters through the device tunnel (~5 MB/job at batch 64k)."""
+
+def word_to_int(row: np.ndarray) -> int:
+    return int.from_bytes(row.tobytes(), "little")
+
+
+_N_WORDS = np.frombuffer(N.to_bytes(32, "little"), dtype="<u8").copy()
+
+
+def words_mod_n(words: np.ndarray) -> np.ndarray:
+    """Reduce (B, 4) u64 key words mod the curve order, vectorized
+    (reference fe_modn_from_hex semantics).  Keys < 2^256 and
+    n > 2^255, so at most one conditional subtraction."""
+    ge = np.zeros(len(words), bool)
+    eq = np.ones(len(words), bool)
+    for i in (3, 2, 1, 0):
+        gt = eq & (words[:, i] > _N_WORDS[i])
+        lt = eq & (words[:, i] < _N_WORDS[i])
+        ge |= gt
+        eq &= ~(gt | lt)
+    ge |= eq                      # == n reduces to 0 as well
+    if not ge.any():
+        return words
+    words = words.copy()
+    r = words[ge]
+    borrow = np.zeros(r.shape[0], np.uint64)
+    for i in range(4):
+        ni = _N_WORDS[i]
+        wi = r[:, i].copy()
+        nb = (wi < ni) | ((wi == ni) & (borrow == np.uint64(1)))
+        r[:, i] = wi - ni - borrow
+        borrow = nb.astype(np.uint64)
+    words[ge] = r
+    return words
+
+
+def window_digits_words(words: np.ndarray, w: int) -> np.ndarray:
+    """(B, 4) u64 key words -> (B, d) uint16 window digits; 0 marks a
+    zero digit (skip).  d shift/mask column ops, no per-key Python.
+
+    The host ships RAW DIGITS (u16, w <= 16) and the device derives the
+    flat table index digit-1 + (2^w-1)*i — half the host->device bytes
+    of an int32 flat-index batch, which matters through the device
+    tunnel (~2.5 MB/job at batch 64k)."""
     n = 1 << w
     assert w <= 16
     d = (255 // w) + 1
-    raw = b"".join(k.to_bytes(32, "little") for k in keys)
-    words = np.frombuffer(raw, dtype="<u8").reshape(len(keys), 4)
-    out = np.empty((len(keys), d), dtype=np.uint16)
+    out = np.empty((len(words), d), dtype=np.uint16)
     for i in range(d):
         j, sh = divmod(w * i, 64)
         lo = words[:, j] >> np.uint64(sh)
@@ -181,6 +218,12 @@ def window_digits(keys: list[int], w: int) -> np.ndarray:
             lo = lo | (words[:, j + 1] << np.uint64(64 - sh))
         out[:, i] = (lo & np.uint64(n - 1)).astype(np.uint16)
     return out
+
+
+def window_digits(keys: list[int], w: int) -> np.ndarray:
+    """(B, d) uint16 window digits from int keys (see
+    window_digits_words)."""
+    return window_digits_words(keys_to_words(keys), w)
 
 
 def window_indices(keys: list[int], w: int) -> np.ndarray:
@@ -369,16 +412,27 @@ class MulSearch:
 
     def run_keys(self, keys: list[int], on_found=None,
                  drain: bool = True) -> list[Found]:
-        """Dispatch jobs of `batch` keys; the mask fetch of each job is
+        """Int-key convenience wrapper over run_words (tests, bench)."""
+        return self.run_words(words_mod_n(keys_to_words(keys)),
+                              on_found=on_found, drain=drain)
+
+    def run_words(self, words: np.ndarray, on_found=None,
+                  drain: bool = True) -> list[Found]:
+        """Dispatch jobs of `batch` keys given as (B, 4) u64 LE word
+        rows (already reduced mod n); the mask fetch of each job is
         deferred until the NEXT job is dispatched (host parse and device
         step overlap — JAX async dispatch provides the pipelining the
         reference gets from its producer/consumer queue).  With
         drain=False one job may remain in flight across calls (the CLI's
-        streaming path); such callers must finish with flush()."""
+        streaming path); such callers must finish with flush().
+
+        The whole host path is numpy-vectorized: per-key Python (int
+        parse, to_bytes) measured ~30-60 ms per 32k job — comparable to
+        the 27 ms device step it feeds (tools/exp_mul_batch.py r5)."""
         found = []
-        for off in range(0, len(keys), self.batch):
-            job = keys[off:off + self.batch]
-            dig = window_digits(job, self.w)
+        for off in range(0, len(words), self.batch):
+            job = words[off:off + self.batch]
+            dig = window_digits_words(job, self.w)
             pad = self.batch - len(job)
             if pad:
                 # digit 0 = skip in every window: padding lanes stay at
@@ -411,6 +465,18 @@ class MulSearch:
                   drain: bool = True) -> list[Found]:
         lines = [ln.rstrip("\r\n") for ln in lines]
         lines = [ln for ln in lines if ln]
+        if not self.raw:
+            # bulk hex parse: one fromhex over the joined (left-padded)
+            # lines, byte-reverse to LE words — no per-key int objects
+            try:
+                b = bytes.fromhex("".join(ln.zfill(64) for ln in lines))
+                arr = np.frombuffer(b, np.uint8).reshape(-1, 32)[:, ::-1]
+                words = words_mod_n(
+                    np.ascontiguousarray(arr).view("<u8"))
+                return self.run_words(words, on_found=on_found,
+                                      drain=drain)
+            except ValueError:
+                pass                    # odd-length/overlong lines
         keys = parse_keys(lines, self.raw)
         return self.run_keys(keys, on_found=on_found, drain=drain)
 
@@ -423,7 +489,7 @@ class MulSearch:
             for j in idxs:
                 if j >= len(job):
                     continue  # padding lane
-                priv = job[int(j)]
+                priv = word_to_int(job[int(j)])
                 h = common.derive_h160(priv, is33)
                 if not self.filt.confirm(bytes.fromhex(h)):
                     continue

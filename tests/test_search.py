@@ -352,3 +352,37 @@ def test_rnd_skip_iters_resume():
     for _ in range(3):
         gen_random_range(r2, 0x100000, 0x1FFFFF, 0, 20)
     assert gen_random_range(r2, 0x100000, 0x1FFFFF, 0, 20) == lo_hi[3]
+
+
+def test_words_mod_n_and_digit_parity():
+    """Vectorized key-word reduction + digit extraction vs int math
+    (the r5 numpy host path: no per-key Python in the mul pipeline)."""
+    from ecloop_tpu import golden
+    from ecloop_tpu.search.mul import (keys_to_words, window_digits,
+                                       window_digits_words, word_to_int,
+                                       words_mod_n)
+    n = golden.N
+    tests = [0, 1, 5, n - 1, n, n + 1, n + 12345, 2**256 - 1, 2**255,
+             (n + (2**256 - 1)) // 2]
+    w = words_mod_n(keys_to_words(tests))
+    for k, row in zip(tests, w):
+        assert word_to_int(row) == k % n
+    keys = [(k * 0x9E3779B97F4A7C15) % n for k in range(1, 300)]
+    assert np.array_equal(window_digits(keys, 14),
+                          window_digits_words(keys_to_words(keys), 14))
+
+
+def test_run_lines_bulk_hex_matches_parse_keys(tmp_path):
+    """run_lines' bulk fromhex fast path (incl. short lines needing
+    left-pad and over-order keys needing mod-n) finds the same set as
+    the per-line parse_keys fallback."""
+    from ecloop_tpu import golden
+    from ecloop_tpu.search.mul import MulSearch, parse_keys
+    privs = [0xABC, 0x123456, golden.N + 5]
+    filt = _filter_for([p % golden.N for p in privs])
+    cfg = SearchConfig(addr33=True)
+    lines = [f"{privs[0]:x}", f"{privs[1]:064x}", f"{privs[2]:x}"]
+    eng = MulSearch(cfg, filt, w=8, batch=32, init="host")
+    found = eng.run_lines(lines)
+    assert {f.priv for f in found} == {p % golden.N for p in privs}
+    assert [f.priv for f in found] == parse_keys(lines, False)

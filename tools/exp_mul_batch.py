@@ -45,14 +45,16 @@ def main():
         print(f"batch {batch}: {per*1e3:8.2f} ms/step -> "
               f"{batch/per/1e3:8.1f} kkeys/s (device)", flush=True)
 
-        # end-to-end through run_keys pipelining
-        allk = [random.randrange(1, 1 << 256) for _ in range(batch * 8)]
-        eng.run_keys(allk[:batch])          # warm
+        # end-to-end through run_lines (the CLI's bulk-hex streaming
+        # path: fromhex -> LE words -> digits, no per-key Python ints)
+        lines = [f"{random.randrange(1, 1 << 255):064x}"
+                 for _ in range(batch * 8)]
+        eng.run_lines(lines[:batch])        # warm
         t0 = time.time()
-        eng.run_keys(allk)
+        eng.run_lines(lines)
         per = (time.time() - t0)
-        print(f"batch {batch}: end-to-end {len(allk)/per/1e3:8.1f} kkeys/s",
-              flush=True)
+        print(f"batch {batch}: end-to-end {len(lines)/per/1e3:8.1f} kkeys/s "
+              f"(hex lines)", flush=True)
 
 
 if __name__ == "__main__":

@@ -420,7 +420,17 @@ def cmd_mul(args: Args) -> int:
     cfg, filt, status, _rng, _ = _search_config(args, "mul")
     raw = args.get_bool("-raw")
     ndev = _device_count(args)
-    per_dev_batch = int(os.environ.get("ECLOOP_MUL_BATCH", 2048))
+    # per-device job size: 32768 is the measured v5e sweet spot (1.19 M
+    # keys/s device-side, tools/exp_mul_batch.py r5); the CPU fallback
+    # keeps the reference's 2048 (main.c:16) — eager CPU steps scale
+    # with batch and tests/dev runs want small jobs
+    import jax
+    try:
+        on_tpu = jax.default_backend() != "cpu"
+    except Exception:
+        on_tpu = False
+    per_dev_batch = int(os.environ.get("ECLOOP_MUL_BATCH",
+                                       32768 if on_tpu else 2048))
     if ndev > 1:
         # shard each job over the mesh: gtable + bloom replicated per
         # chip, key batch split n ways (the reference's thread pool

@@ -439,7 +439,19 @@ class MulSearch:
                 # infinity and can never probe as hits
                 dig = np.concatenate(
                     [dig, np.zeros((pad, dig.shape[1]), np.uint16)], axis=0)
-            masks = self.step_fn(jnp.asarray(dig.T), self.txy, self.bits)
+            # ascontiguousarray: transferring the transposed VIEW makes
+            # the runtime copy it strided (row-by-row through the
+            # tunnel); one host-side copy keeps the put at ~1 GB/s
+            masks = self.step_fn(jnp.asarray(np.ascontiguousarray(dig.T)),
+                                 self.txy, self.bits)
+            try:
+                # start the device->host mask copy as soon as the step
+                # finishes: the blocking fetch at drain time measured
+                # ~39 ms of read latency through the device tunnel,
+                # serializing with the next job's parse (r5 profile)
+                masks.copy_to_host_async()
+            except AttributeError:  # pragma: no cover — older jax
+                pass
             self._pending.append((job, masks, on_found))
             while len(self._pending) > self._depth:
                 found.extend(self._drain_one(on_found))

@@ -45,16 +45,19 @@ def main():
         print(f"batch {batch}: {per*1e3:8.2f} ms/step -> "
               f"{batch/per/1e3:8.1f} kkeys/s (device)", flush=True)
 
-        # end-to-end through run_lines (the CLI's bulk-hex streaming
-        # path: fromhex -> LE words -> digits, no per-key Python ints)
+        # end-to-end through run_lines exactly as the CLI streams it:
+        # one batch-sized chunk per call with drain=False, so chunk
+        # i+1's host parse overlaps chunk i's device step
         lines = [f"{random.randrange(1, 1 << 255):064x}"
                  for _ in range(batch * 8)]
         eng.run_lines(lines[:batch])        # warm
         t0 = time.time()
-        eng.run_lines(lines)
+        for off in range(0, len(lines), batch):
+            eng.run_lines(lines[off:off + batch], drain=False)
+        eng.flush()
         per = (time.time() - t0)
         print(f"batch {batch}: end-to-end {len(lines)/per/1e3:8.1f} kkeys/s "
-              f"(hex lines)", flush=True)
+              f"(hex lines, CLI-style streaming)", flush=True)
 
 
 if __name__ == "__main__":

@@ -26,7 +26,8 @@ def main():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     filt = filters.load_filter(os.path.join(root, "data", "btc-bw-hash"))
     cfg = SearchConfig(addr33=True, addr65=True)
-    batch = int(os.environ.get("ECLOOP_MUL_BATCH", "2048"))
+    # must match cmd_mul's default so the vector stage hits this cache
+    batch = int(os.environ.get("ECLOOP_MUL_BATCH", "32768"))
     eng = MulSearch(cfg, filt, batch=batch)
     print(f"[{time.monotonic() - T0:6.1f}s] engine up (batch {batch}); "
           f"compiling", flush=True)

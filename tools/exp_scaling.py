@@ -71,6 +71,7 @@ def main():
         ncx, ncy, masks, checked = step(cx, cy, tx, ty, dpx, dpy, bits)
         jax.block_until_ready(masks)
         compile_s = time.monotonic() - t0
+        cx, cy = ncx, ncy       # originals were donated to the step
         t0 = time.monotonic()
         for _ in range(steps):
             cx, cy, masks, checked = step(cx, cy, tx, ty, dpx, dpy, bits)

@@ -27,6 +27,7 @@ STAGES = [
               "(writes BENCH_LAST_GOOD.json)"),
     ("bench_micro", "per-kernel microbench (bench cmd)"),
     ("bench_gtable", "gtable width sweep (bench-gtable)"),
+    ("scaling_virtual", "sharding overhead, 1/2/4/8-device virtual mesh"),
 ]
 
 MAX_LINES = 60

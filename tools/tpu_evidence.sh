@@ -74,5 +74,11 @@ run bench_micro 2400 python -m ecloop_tpu bench
 ECLOOP_GTABLE_WS="${ECLOOP_GTABLE_WS:-8 10 12 14 16 18 20}" \
   run bench_gtable 3600 python -m ecloop_tpu bench-gtable
 
+# 8. sharding-overhead scaling on the virtual CPU mesh (fixed
+# per-device work at 1/2/4/8 devices; the real-chip overhead number is
+# bench.py's stage D)
+XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  run scaling_virtual 2400 python tools/exp_scaling.py
+
 report
 echo "evidence pack complete; see TPU_RESULTS.md and $OUT/"

@@ -79,11 +79,11 @@ def sharded_step_builder(cfg: SearchConfig, filt: Filter, mesh: Mesh):
         in_specs=(P("rng"), P("rng"), P(), P(), P(), P(), P()),
         out_specs=(P("rng"), P("rng"), P(None, "rng"), P()),
         check_rep=False)
-    from ..search.add import _use_jit
-    if not _use_jit():
-        # eager shard_map: per-op dispatch under the mesh — no giant
-        # whole-step XLA:CPU compile (see add._use_jit)
-        return sharded
+    # ALWAYS jit, CPU included: a bare shard_map is not eager — it
+    # retraces and recompiles the whole program EVERY call (~100 s per
+    # step call on one CPU core, measured — the round-2 dryrun timeout
+    # and the 17-min multidevice CLI test of r5).  One jitted compile
+    # costs the same ~100-170 s once and then runs in ms.
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
@@ -211,15 +211,14 @@ def sharded_mul_step_builder(cfg: SearchConfig, filt: Filter, mesh: Mesh,
     if batch % (n * 32):
         raise ValueError(f"mul batch ({batch}) must divide over {n} "
                          f"devices into 32-aligned shards")
-    raw_step = make_mul_step(cfg, filt, w, batch // n)
+    raw_step = make_mul_step(cfg, filt, w, batch // n, scan=True)
     sharded = shard_map(
         raw_step, mesh=mesh,
         in_specs=(P(None, "rng"), P(), P()),
         out_specs=P(None, "rng"),
         check_rep=False)
-    from ..search.add import _use_jit
-    if not _use_jit():
-        return sharded
+    # always jit — see sharded_step_builder: bare shard_map recompiles
+    # every call
     return jax.jit(sharded)
 
 

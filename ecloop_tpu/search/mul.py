@@ -258,16 +258,22 @@ def interleave_gtable(tx, ty):
     return jnp.concatenate([tx, ty], axis=1)
 
 
-def make_mul_step(cfg: SearchConfig, filt: Filter, w: int, batch: int):
-    """Raw (unjitted) mul step: (idx (d, B), txy (N, 32), bits) -> masks
-    (V, B/32).  Exposed unjitted so parallel/mesh.py can wrap it in
-    shard_map; single-device users take build_mul_step below.
+def make_mul_step(cfg: SearchConfig, filt: Filter, w: int, batch: int,
+                  scan: bool | None = None):
+    """Raw (unjitted) mul step: (dig (d, B) u16, txy (N, 32), bits) ->
+    masks (V, B/32).  Exposed unjitted so parallel/mesh.py can wrap it
+    in shard_map; single-device users take build_mul_step below.
+
+    scan: fold windows with lax.scan (compile-friendly under an outer
+    jit — the mesh builder always jits) vs an eager Python window loop
+    (small cached per-op kernels for the eager CPU engine).  Default
+    follows the engine's jit policy (add._use_jit).
 
     Limb-first accumulation: the per-window gather pulls interleaved
     (N, 32) x||y rows (interleave_gtable), then converts to fel rows
     for the field math."""
     from .add import _use_jit, _use_pallas
-    use_jit = _use_jit()
+    use_jit = _use_jit() if scan is None else scan
     use_pallas = _use_pallas() and batch % 1024 == 0
     # full-tile layout: (B/1024, 8, 128) rows use all 8 sublanes; flat
     # (B,) rows run the VPU at 1/8 width (see search/add.py r3d)

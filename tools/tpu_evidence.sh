@@ -45,6 +45,12 @@ run mul_warm 2700 python tools/warm_mul.py
 run mul_vector 1800 bash -c "cat data/btc-bw-priv | python -m ecloop_tpu \
   mul -f data/btc-bw-hash -a cu -q -o '$OUT/mul_found.txt'"
 
+# 2c. rnd mode on device: -d 0:24 over the 24-bit puzzle range makes
+# the first seeded sub-range cover the whole range (single pass), so
+# the run must find the same 9 keys as the add vector
+run rnd_vector 1500 python -m ecloop_tpu rnd -f data/btc-puzzles-hash \
+  -r 8000:ffffff -d 0:24 -seed r5 -q -o "$OUT/rnd_found.txt"
+
 # 3. bloom round-trip (reference make blf)
 run blf_roundtrip 1800 bash -c "
   rm -f /tmp/ecloop-ev.blf '$OUT/blf_add_found.txt' &&

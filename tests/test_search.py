@@ -8,6 +8,7 @@ and require the exact found set.
 
 import os
 
+import jax
 import numpy as np
 import pytest
 

@@ -200,23 +200,24 @@ def words_mod_n(words: np.ndarray) -> np.ndarray:
 
 
 def window_digits_words(words: np.ndarray, w: int) -> np.ndarray:
-    """(B, 4) u64 key words -> (B, d) uint16 window digits; 0 marks a
-    zero digit (skip).  d shift/mask column ops, no per-key Python.
+    """(B, 4) u64 key words -> (B, d) window digits; 0 marks a zero
+    digit (skip).  d shift/mask column ops, no per-key Python.
 
-    The host ships RAW DIGITS (u16, w <= 16) and the device derives the
-    flat table index digit-1 + (2^w-1)*i — half the host->device bytes
-    of an int32 flat-index batch, which matters through the device
-    tunnel (~2.5 MB/job at batch 64k)."""
+    The host ships RAW DIGITS (uint16 for w <= 16, uint32 above) and
+    the device derives the flat table index digit-1 + (2^w-1)*i — half
+    the host->device bytes of an int32 flat-index batch at the default
+    width, which matters through the device tunnel (~2.5 MB/job at
+    batch 64k)."""
     n = 1 << w
-    assert w <= 16
     d = (255 // w) + 1
-    out = np.empty((len(words), d), dtype=np.uint16)
+    out = np.empty((len(words), d),
+                   dtype=np.uint16 if w <= 16 else np.uint32)
     for i in range(d):
         j, sh = divmod(w * i, 64)
         lo = words[:, j] >> np.uint64(sh)
         if sh and j + 1 < 4:
             lo = lo | (words[:, j + 1] << np.uint64(64 - sh))
-        out[:, i] = (lo & np.uint64(n - 1)).astype(np.uint16)
+        out[:, i] = (lo & np.uint64(n - 1)).astype(out.dtype)
     return out
 
 
@@ -444,7 +445,7 @@ class MulSearch:
                 # digit 0 = skip in every window: padding lanes stay at
                 # infinity and can never probe as hits
                 dig = np.concatenate(
-                    [dig, np.zeros((pad, dig.shape[1]), np.uint16)], axis=0)
+                    [dig, np.zeros((pad, dig.shape[1]), dig.dtype)], axis=0)
             # ascontiguousarray: transferring the transposed VIEW makes
             # the runtime copy it strided (row-by-row through the
             # tunnel); one host-side copy keeps the put at ~1 GB/s

@@ -386,7 +386,12 @@ def run_bench_gtable() -> int:
         use_pallas = _use_pallas() and tiled
         txy = interleave_gtable(tx, ty)
 
-        def gmul(idx_, txy_=txy):
+        # txy must be a TRACED ARGUMENT, not a closure capture: a
+        # captured table is baked into the HLO as a constant and the
+        # w=18 (1 GB) compile request trips the remote-compile relay's
+        # body limit (HTTP 413) — production likewise passes it as an
+        # operand
+        def gmul(idx_, txy_):
             def mk_body(complete):
                 def body(carry, idx_i):
                     qx_, qy_, qz_ = carry
@@ -413,7 +418,7 @@ def run_bench_gtable() -> int:
             qx_, qy_, qz_ = mk_body(True)(carry, idx_[-1])
             return qx_[0], qy_[0], qz_[0]
 
-        rate = _rate(_maybe_jit(gmul), idx) * B / 1e6
+        rate = _rate(_maybe_jit(gmul), idx, txy) * B / 1e6
         ceil_txt, bound = "n/a", ""
         if leaf:
             # scan-only ceiling: this sweep times the window scan alone

@@ -26,7 +26,8 @@ def main():
 
     for batch in (int(v) for v in
                   os.environ.get("BATCHES", "2048,8192,16384").split(",")):
-        eng = MulSearch(cfg, filt, batch=batch)
+        w = int(os.environ.get("W", "14"))
+        eng = MulSearch(cfg, filt, w=w, batch=batch)
         keys = [random.randrange(1, 1 << 256) for _ in range(batch)]
         t0 = time.time()
         idx0 = None

@@ -624,7 +624,8 @@ def cmd_blf_check(args: Args) -> int:
         except ValueError:
             continue
         ok = bool(blf.has_many(h[None])[0])
-        print(f"{hx}: {'FOUND' if ok else 'NOT FOUND'}")
+        # exact reference output format (utils.c:515,527): "<hex> FOUND"
+        print(f"{hx} {'FOUND' if ok else 'NOT FOUND'}")
         if not ok:
             rc = 1
     return rc

@@ -20,6 +20,7 @@ STAGES = [
     ("mul_vector", "golden mul vector: 1080 keys from data/btc-bw-priv"),
     ("rnd_vector", "rnd mode on device: seeded full-range pass finds 9 keys"),
     ("blf_roundtrip", "blf-gen + search through the .blf path"),
+    ("blf_interchange", "cross-tool ECBF interchange vs the reference C binary"),
     ("tests_variants", "pytest tests/test_tpu_variants.py on device"),
     ("tests_golden", "pytest tests/test_golden.py on device"),
     ("tests_sol", "pytest tests/test_sol.py on device"),

@@ -59,6 +59,9 @@ run blf_roundtrip 1800 bash -c "
   python -m ecloop_tpu add -f /tmp/ecloop-ev.blf -r 8000:ffffff -q \
     -o '$OUT/blf_add_found.txt'"
 
+# 3b. cross-tool bloom interchange vs the reference C binary
+run blf_interchange 600 bash tools/check_blf_interchange.sh
+
 # 4. device test subset, one stage per file with its own timeout; -v so
 # a timed-out stage still names every test that finished
 ECLOOP_TEST_TPU=1 run tests_variants 1500 python -m pytest \
